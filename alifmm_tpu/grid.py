@@ -1,0 +1,247 @@
+"""Model container and nearest-neighbour grid refinement.
+
+TPU-native equivalents of the reference grid helpers:
+
+* ``refine_nearest``   <- finer_grid_n   (Anis_TTF_rays.py:26-56)
+* ``refine_nearest_3d``<- finer_grid_n_2 (Anis_TTF_rays.py:59-91)
+* ``Model``            <- the (veln, velpn, vel_map, stif_den, tables, dnx)
+  bundle threaded through every reference kernel.
+
+The reference's nearest-neighbour upsampling by an odd factor ``s`` maps
+fine index ``k`` to coarse index ``round(k / s)`` (each coarse point owns the
+``s`` fine points centred on ``s*i``, clamped at the edges) -- here done with
+a single gather instead of the reference's double loop.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import materials as mat
+
+__all__ = ["refine_nearest", "refine_nearest_3d", "Model", "make_model"]
+
+
+def _nearest_index(n_coarse: int, scale: int) -> jnp.ndarray:
+    n_fine = scale * (n_coarse - 1) + 1
+    k = jnp.arange(n_fine)
+    # round(k / scale) with scale odd: ties cannot occur.
+    return jnp.clip((k + scale // 2) // scale, 0, n_coarse - 1)
+
+
+def refine_nearest(arr, scale: int, dtype=None):
+    """Nearest-neighbour upsample of a 2D array by odd factor ``scale``.
+
+    Output dims are ``scale * (n - 1) + 1`` like finer_grid_n
+    (Anis_TTF_rays.py:42).  ``dtype`` replicates the reference's dtype
+    parameter: the default there is int32 -- pass ``jnp.int32`` to replicate
+    the (intentional, quirky) truncation of the orientation field during
+    patch refinement (Anis_TTF_rays.py:27, :1527).
+    """
+    if scale == 1:
+        return arr if dtype is None else arr.astype(dtype)
+    iz = _nearest_index(arr.shape[0], scale)
+    ix = _nearest_index(arr.shape[1], scale)
+    out = arr[iz][:, ix]
+    if dtype is not None:
+        out = out.astype(dtype)
+    return out
+
+
+def refine_nearest_3d(arr, scale: int):
+    """Nearest-neighbour upsample of a (Z, X, C) material array
+    (finer_grid_n_2, Anis_TTF_rays.py:59-91)."""
+    if scale == 1:
+        return arr
+    iz = _nearest_index(arr.shape[0], scale)
+    ix = _nearest_index(arr.shape[1], scale)
+    return arr[iz][:, ix]
+
+
+# Fixed wave angles of the multi-stencil FD fallback families
+# (fouds18_A, Anis_TTF_rays.py:283, :469-470, :702-704, :805):
+# axis family 0 deg; diagonal family 45 deg (effective angle rounded);
+# knight families at -round(atan(0.5) deg) = -27 and +27 deg.
+_FOUDS_WAVE_ANGLES = (0.0, 45.0, -27.0, 27.0)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Model:
+    """Material model on a regular grid plus precomputed per-point planes.
+
+    Data fields are jnp arrays; ``has_stif`` and ``dnx`` are static leaves.
+    ``fallback_slowness`` holds the four per-point group slownesses at the
+    fixed fouds18_A wave angles (precomputed once -- they never change
+    between sweep iterations).
+    """
+
+    veln: jnp.ndarray          # (Z, X) orientation, degrees
+    velpn: jnp.ndarray         # (Z, X) int32 material index
+    vel_map: jnp.ndarray       # (Z, X) velocity scale
+    stif: jnp.ndarray          # (Z, X, 5) float (c22,c23,c33,c44,rho), MPa
+    group_tab: jnp.ndarray     # (361, M)
+    phase_tab: jnp.ndarray     # (361, M)
+    fallback_slowness: jnp.ndarray  # (4, Z, X)
+    dnx: float = dataclasses.field(metadata=dict(static=True))
+    has_stif: bool = dataclasses.field(metadata=dict(static=True))
+    # seed_sign replicates the travel/travel_finer_grid discrepancy in the
+    # analytic source seeding: travel uses eff = (veln - angle) % 180
+    # (Anis_TTF_rays.py:1558) while travel_finer_grid uses (veln + angle)
+    # (Anis_TTF_rays.py:2234).
+    # It is carried by the solver config, not the model.
+
+    @property
+    def shape(self):
+        return self.veln.shape
+
+
+def group_velocity_at(model: Model, eff_angle_deg):
+    """Group velocity at per-point effective angle, dispatching between the
+    table interpolation and the runtime Christoffel solve exactly like the
+    reference kernels (e.g. Anis_TTF_rays.py:287-315)."""
+    eff = jnp.mod(eff_angle_deg, 180.0)
+    v_tab = mat.interp_table(model.group_tab, eff, model.velpn, model.vel_map)
+    if not model.has_stif:
+        return v_tab
+    v_chr = mat.group_velocity_christoffel(
+        eff,
+        model.stif[..., 0],
+        model.stif[..., 1],
+        model.stif[..., 2],
+        model.stif[..., 3],
+        model.stif[..., 4],
+        model.vel_map,
+    )
+    return jnp.where(model.velpn != 0, v_tab, v_chr)
+
+
+def phase_velocity_at(model: Model, eff_angle_deg, velpn=None, vel_map=None, stif=None):
+    """Phase velocity at per-point effective angle (ALI update velocity,
+    Anis_TTF_rays.py:1371-1406).  Optional overrides let callers evaluate at
+    shifted/sliced material planes."""
+    velpn = model.velpn if velpn is None else velpn
+    vel_map = model.vel_map if vel_map is None else vel_map
+    stif = model.stif if stif is None else stif
+    eff = jnp.mod(eff_angle_deg, 180.0)
+    v_tab = mat.interp_table(model.phase_tab, eff, velpn, vel_map)
+    if not model.has_stif:
+        return v_tab
+    v_chr = mat.phase_velocity_christoffel(
+        eff,
+        stif[..., 0],
+        stif[..., 1],
+        stif[..., 2],
+        stif[..., 3],
+        stif[..., 4],
+        vel_map,
+    )
+    return jnp.where(velpn != 0, v_tab, v_chr)
+
+
+def _fallback_slowness_planes(veln, velpn, vel_map, stif, group_tab, has_stif):
+    """Per-point group slowness at the four fixed fouds18_A wave angles.
+
+    Family effective angles (replicated exactly):
+      axis:     eff = (0 - veln) % 180            (Anis_TTF_rays.py:286)
+      diagonal: eff = round((45 - veln) % 180)    (Anis_TTF_rays.py:470)
+      knight A: eff = (-27 - veln) % 180          (Anis_TTF_rays.py:702-704)
+      knight B: eff = (27 - veln) % 180           (Anis_TTF_rays.py:805)
+    """
+    effs = [
+        jnp.mod(0.0 - veln, 180.0),
+        jnp.round(jnp.mod(45.0 - veln, 180.0)),
+        jnp.mod(-27.0 - veln, 180.0),
+        jnp.mod(27.0 - veln, 180.0),
+    ]
+    planes = []
+    for eff in effs:
+        v_tab = mat.interp_table(group_tab, eff, velpn, vel_map)
+        if has_stif:
+            v_chr = mat.group_velocity_christoffel(
+                eff,
+                stif[..., 0],
+                stif[..., 1],
+                stif[..., 2],
+                stif[..., 3],
+                stif[..., 4],
+                vel_map,
+            )
+            v = jnp.where(velpn != 0, v_tab, v_chr)
+        else:
+            v = v_tab
+        planes.append(1.0 / v)
+    return jnp.stack(planes)
+
+
+def make_model(
+    veln,
+    velpn,
+    vel_map=None,
+    stif_den=None,
+    group_tab=None,
+    phase_tab=None,
+    dnx=1e-3,
+    dtype=jnp.float32,
+) -> Model:
+    """Assemble a Model (with precomputed fallback-slowness planes)."""
+    veln = jnp.asarray(veln, dtype=dtype)
+    velpn = jnp.asarray(velpn, dtype=jnp.int32)
+    if vel_map is None:
+        vel_map = jnp.ones(veln.shape, dtype=dtype)
+    else:
+        vel_map = jnp.asarray(vel_map, dtype=dtype)
+    has_stif = stif_den is not None
+    if has_stif:
+        stif = jnp.asarray(stif_den, dtype=dtype)
+    else:
+        stif = jnp.zeros(veln.shape + (5,), dtype=dtype)
+    if group_tab is None or phase_tab is None:
+        g, p = mat.default_tables()
+        group_tab = g if group_tab is None else group_tab
+        phase_tab = p if phase_tab is None else phase_tab
+    group_tab = jnp.asarray(group_tab, dtype=dtype)
+    phase_tab = jnp.asarray(phase_tab, dtype=dtype)
+    fb = _fallback_slowness_planes(veln, velpn, vel_map, stif, group_tab, has_stif)
+    return Model(
+        veln=veln,
+        velpn=velpn,
+        vel_map=vel_map,
+        stif=stif,
+        group_tab=group_tab,
+        phase_tab=phase_tab,
+        fallback_slowness=fb,
+        dnx=float(dnx),
+        has_stif=has_stif,
+    )
+
+
+def refine_model(model: Model, scale: int, dtype=jnp.float32) -> Model:
+    """NN-refine a whole model by odd factor ``scale`` with the reference's
+    dtype quirks (veln via int32, velpn int, vel_map float32 --
+    Anis_TTF_rays.py:2156-2163) and dnx scaled down."""
+    if scale == 1:
+        return model
+    veln = refine_nearest(model.veln, scale, jnp.int32).astype(dtype)
+    velpn = refine_nearest(model.velpn, scale, jnp.int32)
+    vel_map = refine_nearest(model.vel_map, scale).astype(dtype)
+    stif = refine_nearest_3d(model.stif, scale)
+    fb = _fallback_slowness_planes(
+        veln, velpn, vel_map, stif, model.group_tab, model.has_stif
+    )
+    return Model(
+        veln=veln,
+        velpn=velpn,
+        vel_map=vel_map,
+        stif=stif,
+        group_tab=model.group_tab,
+        phase_tab=model.phase_tab,
+        fallback_slowness=fb,
+        dnx=model.dnx / scale,
+        has_stif=model.has_stif,
+    )

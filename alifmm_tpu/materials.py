@@ -1,0 +1,242 @@
+"""L0 material physics: Christoffel phase/group velocities and velocity tables.
+
+TPU-native (JAX) reimplementation of the material model of ALI-FMM
+(reference: Anis_TTF_rays.py).  The 2D medium is described by
+
+* ``veln``   -- anisotropic orientation (degrees) per grid point,
+* ``velpn``  -- material index per grid point (0 selects the runtime
+  Christoffel solve on ``stif_den``; >=1 selects a column of the velocity
+  tables),
+* ``vel_map`` -- per-point velocity scale,
+* ``stif_den`` -- (Z, X, 5) stiffness/density planes (c22, c23, c33, c44,
+  density), stiffness in MPa (hence the ``1000 *`` factors below).
+
+All angle arithmetic is in degrees, matching the reference conventions
+(group solve: Anis_TTF_rays.py:3520-3558; phase solve: :4192-4197;
+table interpolation: :286-291, :1371-1375).
+
+Everything here is pure jax.numpy, vectorised over arbitrary leading
+shapes, and safe under ``jit``/``vmap`` (branchless ``where`` selects with
+NaN-safe guarded inputs).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "group_velocity_christoffel",
+    "phase_velocity_christoffel",
+    "generate_group_vel_curve",
+    "generate_phase_vel_curve",
+    "default_tables",
+    "build_tables",
+    "interp_table",
+]
+
+
+def _deg2rad(x):
+    return x * (np.pi / 180.0)
+
+
+def group_velocity_christoffel(angle_deg, c22, c23, c33, c44, rho, vel_scale=1.0):
+    """Group velocity of the qP mode at group angle ``angle_deg`` (degrees).
+
+    Replicates the closed-form solve of the reference ``group_vel``
+    (Anis_TTF_rays.py:3520-3558), including its near-axis special cases:
+    within 0.01 deg of an axis the eigenvalue is taken directly from c22
+    (near 0/180 deg) or c33 (near 90 deg).  Stiffness is in MPa, density in
+    kg/m^3; the ``1000 *`` factor converts sqrt(MPa / (kg/m^3)) to m/s.
+
+    All arguments broadcast; returns an array of the broadcast shape.
+    """
+    angle = jnp.mod(angle_deg, 180.0)
+    c22 = jnp.asarray(c22, dtype=angle.dtype)
+    c23 = jnp.asarray(c23, dtype=angle.dtype)
+    c33 = jnp.asarray(c33, dtype=angle.dtype)
+    c44 = jnp.asarray(c44, dtype=angle.dtype)
+    rho = jnp.asarray(rho, dtype=angle.dtype)
+
+    m90 = jnp.mod(angle, 90.0)
+    near_axis = (m90 < 0.01) | (m90 > 90.0 - 0.01)
+    near_90 = jnp.abs(angle - 90.0) < 1.0
+    lam_axis = jnp.where(near_90, c33, c22)
+    v_axis = 1000.0 * vel_scale * jnp.sqrt(lam_axis / rho)
+
+    # Guarded general-angle solve (angle replaced by 45 deg where the axis
+    # branch is taken, so tan() stays finite and no NaN leaks through where).
+    ang_safe = jnp.where(near_axis, 45.0, angle)
+    tan_ang = jnp.tan(_deg2rad(ang_safe))
+    A = c22 + c33 - 2.0 * c44
+    B = (c23 + c44) * (tan_ang - 1.0 / tan_ang)
+    C = c22 - c33
+    disc = jnp.sqrt(jnp.maximum(B * B + A * A - C * C, 0.0))
+    denom = C - A
+    denom = jnp.where(denom == 0.0, jnp.finfo(angle.dtype).tiny, denom)
+    sign = jnp.where(ang_safe < 90.0, -1.0, 1.0)
+    phase_ang = jnp.mod(jnp.arctan((-B + sign * disc) / denom), np.pi)
+    lam = 0.5 * (
+        jnp.cos(2.0 * phase_ang) * (c22 - c44)
+        + jnp.sin(2.0 * phase_ang) * (c23 + c44) * tan_ang
+        + c22
+        + c44
+    )
+    v_gen = (
+        1000.0
+        * vel_scale
+        * jnp.sqrt(jnp.maximum(lam, 0.0) / rho)
+        / jnp.cos(_deg2rad(ang_safe) - phase_ang)
+    )
+    return jnp.where(near_axis, v_axis, v_gen)
+
+
+def phase_velocity_christoffel(angle_deg, c22, c23, c33, c44, rho, vel_scale=1.0):
+    """qP phase velocity at phase angle ``angle_deg`` (degrees).
+
+    Replicates the 2x2 Christoffel eigenvalue solve used inside the ALI
+    update (Anis_TTF_rays.py:1399-1406): the largest eigenvalue of
+    [[A, B], [B, C]] with A = cos^2 c22 + sin^2 c44, etc.
+    """
+    angle = jnp.asarray(angle_deg)
+    c22 = jnp.asarray(c22, dtype=angle.dtype)
+    c23 = jnp.asarray(c23, dtype=angle.dtype)
+    c33 = jnp.asarray(c33, dtype=angle.dtype)
+    c44 = jnp.asarray(c44, dtype=angle.dtype)
+    rho = jnp.asarray(rho, dtype=angle.dtype)
+    ca = jnp.cos(_deg2rad(angle))
+    sa = jnp.sin(_deg2rad(angle))
+    A = ca * ca * c22 + sa * sa * c44
+    B = ca * sa * (c23 + c44)
+    C = ca * ca * c44 + sa * sa * c33
+    lam = 0.5 * (A + C + jnp.sqrt((A - C) ** 2 + 4.0 * B * B))
+    return 1000.0 * vel_scale * jnp.sqrt(lam / rho)
+
+
+def generate_group_vel_curve(c22, c23, c33, c44, density):
+    """361-entry group-velocity curve (1-degree steps, 180-deg periodic).
+
+    Mirrors ALI_FMM.generate_group_vel (Anis_TTF_rays.py:4112-4160): input
+    stiffness in Pa (no 1000x factor), integer angles, exact axis handling
+    at multiples of 90 degrees.  Returns a float64 numpy array (host-side
+    table construction; happens once per material).
+    """
+    out = np.zeros(361)
+    for angle in range(181):
+        if angle % 90 == 0:
+            lam = c33 if angle % 180 == 90 else c22
+            v = np.sqrt(lam / density)
+        else:
+            tan_ang = np.tan(np.radians(angle))
+            A = c22 + c33 - 2 * c44
+            B = (c23 + c44) * (tan_ang - 1.0 / tan_ang)
+            C = c22 - c33
+            if angle < 90:
+                pa = np.arctan((-B - np.sqrt(B**2 + A**2 - C**2)) / (C - A)) % np.pi
+            else:
+                pa = np.arctan((-B + np.sqrt(B**2 + A**2 - C**2)) / (C - A)) % np.pi
+            lam = 0.5 * (
+                np.cos(2 * pa) * (c22 - c44)
+                + np.sin(2 * pa) * (c23 + c44) * tan_ang
+                + c22
+                + c44
+            )
+            v = np.sqrt(lam / density) / np.cos(np.radians(angle) - pa)
+        out[angle] = v
+    # reference fills angle >= 180 with curve[angle - 180]
+    for angle in range(180, 361):
+        out[angle] = out[angle - 180]
+    return out
+
+
+def generate_phase_vel_curve(c22, c23, c33, c44, density):
+    """361-entry phase-velocity curve (ALI_FMM.generate_phase_vel,
+    Anis_TTF_rays.py:4162-4206)."""
+    out = np.zeros(361)
+    for angle in range(181):
+        if angle % 90 == 0:
+            lam = c33 if angle % 180 == 90 else c22
+            v = np.sqrt(lam / density)
+        else:
+            ca = np.cos(np.radians(angle))
+            sa = np.sin(np.radians(angle))
+            A = ca * ca * c22 + sa * sa * c44
+            B = ca * sa * (c23 + c44)
+            C = ca * ca * c44 + sa * sa * c33
+            v = np.sqrt((A + C + np.sqrt((A - C) ** 2 + 4 * B * B)) / (2 * density))
+        out[angle] = v
+    for angle in range(180, 361):
+        out[angle] = out[angle - 180]
+    return out
+
+
+def default_tables():
+    """Default velocity tables: column 0 is the angle, column 1 is an
+    isotropic unit-velocity material (Anis_TTF_rays.py:3825-3828)."""
+    tab = np.ones((361, 2))
+    tab[:, 0] = np.arange(0, 361)
+    return tab, tab.copy()
+
+
+def build_tables(materials, velocity_dat=None, phase_vel=None, keep_materials=False):
+    """Build (group, phase) velocity tables from material rows
+    (c22, c23, c33, c44, density) in Pa, mirroring ALI_FMM.add_materials
+    (Anis_TTF_rays.py:4208-4256).  Returns (group_tab, phase_tab, new_ids).
+    """
+    materials = np.asarray(materials)
+    if keep_materials:
+        assert velocity_dat is not None and phase_vel is not None
+        base = velocity_dat.shape[1]
+        if materials.ndim == 1:
+            rows = materials[None, :]
+        else:
+            rows = materials
+        n_new = rows.shape[0]
+        g = np.zeros((361, base + n_new))
+        p = np.zeros((361, base + n_new))
+        g[:, :base] = velocity_dat
+        p[:, :base] = phase_vel
+        for i in range(n_new):
+            g[:, base + i] = generate_group_vel_curve(*rows[i])
+            p[:, base + i] = generate_phase_vel_curve(*rows[i])
+        return g, p, list(range(base, base + n_new))
+    else:
+        if materials.ndim == 1:
+            rows = materials[None, :]
+            ncols = 2
+        else:
+            rows = materials
+            # quirk parity: reference sizes the table by materials.shape[1]
+            # and then loops range(materials.shape[1]) rows
+            # (Anis_TTF_rays.py:4242, :4250) -- i.e. a square materials
+            # matrix is assumed; we preserve the column count semantics.
+            ncols = materials.shape[1] + 1
+        g = np.zeros((361, ncols))
+        p = np.zeros((361, ncols))
+        g[:, 0] = np.arange(0, 361)
+        p[:, 0] = np.arange(0, 361)
+        n_fill = 1 if materials.ndim == 1 else min(rows.shape[0], ncols - 1)
+        for i in range(n_fill):
+            g[:, 1 + i] = generate_group_vel_curve(*rows[i])
+            p[:, 1 + i] = generate_phase_vel_curve(*rows[i])
+        return g, p, list(range(1, 1 + n_fill))
+
+
+def interp_table(table, eff_angle_deg, mat_idx, vel_map):
+    """Linear interpolation of a (361, M) velocity table at ``eff_angle_deg``
+    (in [0, 180)) for per-point material column ``mat_idx``.
+
+    Replicates the reference lookup (Anis_TTF_rays.py:288-291):
+    ``a1 = floor(eff); a2 = (a1 + 1) % 180; v = vel_map * ((1-w) T[a1, m] +
+    w T[a2, m])``.
+    """
+    eff = jnp.mod(eff_angle_deg, 180.0)
+    a1 = jnp.clip(jnp.floor(eff).astype(jnp.int32), 0, 179)
+    a2 = jnp.mod(a1 + 1, 180)
+    w = eff - a1.astype(eff.dtype)
+    M = table.shape[1]
+    flat = table.reshape(-1)
+    m = mat_idx.astype(jnp.int32)
+    v1 = jnp.take(flat, a1 * M + m)
+    v2 = jnp.take(flat, a2 * M + m)
+    return vel_map * ((1.0 - w) * v1 + w * v2)

@@ -1,0 +1,466 @@
+"""Branchless, fully-vectorised local eikonal update (the TPU "kernel").
+
+This re-derives the reference's two local solvers as masked array math so a
+single evaluation updates *every* grid point at once (the reference applies
+them one heap-pop at a time):
+
+* ALI wavefront-interpolation update  <- update() + wavefront_angle_dist()
+  (Anis_TTF_rays.py:904-1460): 8 square stencils, 8 triangular stencils,
+  stencil selection by minimum travel-time difference, linear wavefront
+  interpolation, phase velocity at the wavefront-normal angle.
+* Multi-stencil FD fallback           <- fouds18_A()
+  (Anis_TTF_rays.py:240-901): axis / diagonal / two knight's-move stencil
+  families with first/second-order upwind quadratic solves, group velocity
+  at the family's fixed wave angle.
+
+Unknown points carry the sentinel ``INF``; neighbours out of the grid are
+INF as well (via padding), which reproduces the reference's in-bounds +
+known-status tests (nsts >= 0 / nsts == 0) at every interior point.  The
+triangular-stencil boundary special cases take explicit edge masks.
+
+The update is written against a dict of neighbour views so the same code
+runs on full grids, row bands and column bands (for Gauss-Seidel line
+sweeps) and under vmap over sources.
+
+fouds18_A skips a whole (j, k) quadrant / knight pair when either primary
+coordinate leaves the grid, so the fallback additionally takes explicit
+in-bounds masks (INF padding alone is not equivalent at grid edges).
+
+Known, documented deviation from the reference: it calls update() with nnz
+accidentally swapped for nnx at one stage-1 call site
+(Anis_TTF_rays.py:1645); not replicated.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import grid as gridlib
+
+INF = 1.0e9
+_BIG_DIFF = 1.0e30
+SQRT2 = math.sqrt(2.0)
+SQRT5 = math.sqrt(5.0)
+
+# All 24 neighbour offsets (dz, dx) used by the two solvers.
+OFFSETS: Tuple[Tuple[int, int], ...] = tuple(
+    (dz, dx)
+    for dz in (-2, -1, 0, 1, 2)
+    for dx in (-2, -1, 0, 1, 2)
+    if not (dz == 0 and dx == 0)
+)
+
+# Square ALI stencils: (A=far point, P, Q) offsets; diff = |t(P) - t(Q)|
+# (Anis_TTF_rays.py:937-1033).
+_SQ = (
+    ((-2, 0), (-1, -1), (-1, 1)),
+    ((0, 2), (-1, 1), (1, 1)),
+    ((2, 0), (1, -1), (1, 1)),
+    ((0, -2), (-1, -1), (1, -1)),
+    ((-1, -1), (0, -1), (-1, 0)),
+    ((-1, 1), (-1, 0), (0, 1)),
+    ((1, 1), (1, 0), (0, 1)),
+    ((1, -1), (0, -1), (1, 0)),
+)
+
+# Triangular ALI stencils: (F=far, M=mid, D=diag) offsets, the edge where the
+# M-branch degenerates, the degenerate (angle, dist)=(edge_angle, 1), and the
+# wavefront-time rule ('B' = the selected closer point; 'D' = always t(D),
+# replicating the stencil-0 quirk at Anis_TTF_rays.py:1274)
+# (Anis_TTF_rays.py:1146-1365).
+_TRI = (
+    dict(F=(2, 0), M=(1, 0), D=(1, 1), edge="left", eang=90.0, wt="D"),
+    dict(F=(-2, 0), M=(-1, 0), D=(-1, 1), edge="left", eang=90.0, wt="B"),
+    dict(F=(-2, 0), M=(-1, 0), D=(-1, -1), edge="right", eang=90.0, wt="B"),
+    dict(F=(2, 0), M=(1, 0), D=(1, -1), edge="right", eang=90.0, wt="B"),
+    dict(F=(0, -2), M=(0, -1), D=(1, -1), edge="top", eang=0.0, wt="B"),
+    dict(F=(0, 2), M=(0, 1), D=(1, 1), edge="top", eang=0.0, wt="B"),
+    dict(F=(0, 2), M=(0, 1), D=(-1, 1), edge="bottom", eang=0.0, wt="B"),
+    dict(F=(0, -2), M=(0, -1), D=(-1, -1), edge="bottom", eang=0.0, wt="B"),
+)
+
+# Knight's-move stencil point cycles (fouds18_A families 3 and 4,
+# Anis_TTF_rays.py:740-741 and :839-840), as (dz, dx).
+_KNIGHT_A = ((-2, -1), (-1, 2), (2, 1), (1, -2))
+_KNIGHT_B = ((-2, 1), (1, 2), (2, -1), (-1, -2))
+
+
+def _wavefront_angle_dist(xA, zA, xB, zB, xC, zC, yA, yB, yC):
+    """Vectorised wavefront_angle_dist (Anis_TTF_rays.py:1413-1460) with the
+    target point at the origin.  Returns (angle_deg, dist); dist = -1 marks
+    the degenerate case yC == yA."""
+    denom = yC - yA
+    degen = denom == 0.0
+    denom_safe = jnp.where(degen, 1.0, denom)
+    a = (yB - yA) / denom_safe
+    xpos = (1.0 - a) * xA + a * xC
+    zpos = (1.0 - a) * zA + a * zC
+    dx = xB - xpos
+    dz = zB - zpos
+    dx_zero = dx == 0.0
+    dx_safe = jnp.where(dx_zero, 1.0, dx)
+    angle = jnp.mod(jnp.degrees(jnp.arctan(dz / dx_safe)) + 90.0, 180.0)
+    angle = jnp.where(dx_zero, 0.0, angle)
+    norm = jnp.sqrt(dx * dx + dz * dz)
+    norm_safe = jnp.where(norm == 0.0, 1.0, norm)
+    dist = jnp.abs(dz * xB - dx * zB) / norm_safe
+    dist = jnp.where(degen | (norm == 0.0), -1.0, dist)
+    angle = jnp.where(degen, 0.0, angle)
+    return angle, dist
+
+
+def _ali_candidate(nbr, known, edges):
+    """Best ALI stencil for every point: returns (angle, dist, wtime) with
+    dist = -1 where no stencil is usable (-> fouds fallback)."""
+    # ---- square stencils --------------------------------------------------
+    diffs, angles, dists, wtimes = [], [], [], []
+    for (A, P, Q) in _SQ:
+        tA, tP, tQ = nbr[A], nbr[P], nbr[Q]
+        valid = known[A] & known[P] & known[Q]
+        diff = jnp.where(valid, jnp.abs(tP - tQ), _BIG_DIFF)
+        swap = tP < tQ  # B = the smaller of P, Q; ties -> Q (strict <)
+        xB = jnp.where(swap, P[1], Q[1]).astype(tA.dtype)
+        zB = jnp.where(swap, P[0], Q[0]).astype(tA.dtype)
+        xC = jnp.where(swap, Q[1], P[1]).astype(tA.dtype)
+        zC = jnp.where(swap, Q[0], P[0]).astype(tA.dtype)
+        yB = jnp.where(swap, tP, tQ)
+        yC = jnp.where(swap, tQ, tP)
+        ang, dst = _wavefront_angle_dist(
+            float(A[1]), float(A[0]), xB, zB, xC, zC, tA, yB, yC
+        )
+        diffs.append(diff)
+        angles.append(ang)
+        dists.append(dst)
+        wtimes.append(yB)
+    sq_diff = jnp.stack(diffs)
+    best = jnp.argmin(sq_diff, axis=0)
+    sq_min_diff = jnp.min(sq_diff, axis=0)
+    sq_any = sq_min_diff < _BIG_DIFF
+
+    def _sel(stack):
+        return jnp.take_along_axis(stack, best[None], axis=0)[0]
+
+    sq_angle = _sel(jnp.stack(angles))
+    sq_dist = _sel(jnp.stack(dists))
+    sq_wtime = _sel(jnp.stack(wtimes))
+
+    # ---- triangular stencils ----------------------------------------------
+    c1 = SQRT2 - 1.0
+    c2 = 2.0 - SQRT2
+    t_diffs, t_angles, t_dists, t_wtimes = [], [], [], []
+    for spec in _TRI:
+        F, M, D = spec["F"], spec["M"], spec["D"]
+        tF, tM, tD = nbr[F], nbr[M], nbr[D]
+        valid = known[F] & known[M] & known[D] & (tF < jnp.minimum(tM, tD))
+        diff = jnp.where(valid, jnp.abs(c1 * tF + c2 * tM - tD), _BIG_DIFF)
+        m_branch = tM < tD
+        xB = jnp.where(m_branch, M[1], D[1]).astype(tF.dtype)
+        zB = jnp.where(m_branch, M[0], D[0]).astype(tF.dtype)
+        xC = jnp.where(m_branch, D[1], M[1]).astype(tF.dtype)
+        zC = jnp.where(m_branch, D[0], M[0]).astype(tF.dtype)
+        yB = jnp.where(m_branch, tM, tD)
+        yC = jnp.where(m_branch, tD, tM)
+        ang, dst = _wavefront_angle_dist(
+            float(F[1]), float(F[0]), xB, zB, xC, zC, tF, yB, yC
+        )
+        # Boundary degenerate case only taken in the M-branch
+        # (Anis_TTF_rays.py:1264-1268 etc.).
+        on_edge = m_branch & edges[spec["edge"]]
+        ang = jnp.where(on_edge, spec["eang"], ang)
+        dst = jnp.where(on_edge, 1.0, dst)
+        if spec["wt"] == "D":
+            wt = tD
+        else:
+            wt = yB
+        t_diffs.append(diff)
+        t_angles.append(ang)
+        t_dists.append(dst)
+        t_wtimes.append(wt)
+    tri_diff = jnp.stack(t_diffs)
+    tri_best = jnp.argmin(tri_diff, axis=0)
+    tri_min_diff = jnp.min(tri_diff, axis=0)
+    tri_any = tri_min_diff < _BIG_DIFF
+
+    def _tsel(stack):
+        return jnp.take_along_axis(stack, tri_best[None], axis=0)[0]
+
+    tri_angle = _tsel(jnp.stack(t_angles))
+    tri_dist = _tsel(jnp.stack(t_dists))
+    tri_wtime = _tsel(jnp.stack(t_wtimes))
+
+    # ---- combine (Anis_TTF_rays.py:1146, :1202-1262) -----------------------
+    on_boundary = edges["left"] | edges["right"] | edges["top"] | edges["bottom"]
+    try_tri = (~sq_any) | on_boundary
+    carry_diff = jnp.where(sq_any, sq_min_diff, 1.0e6)
+    use_tri = try_tri & tri_any & (tri_min_diff < carry_diff)
+
+    angle = jnp.where(use_tri, tri_angle, sq_angle)
+    dist = jnp.where(use_tri, tri_dist, jnp.where(sq_any, sq_dist, -1.0))
+    wtime = jnp.where(use_tri, tri_wtime, sq_wtime)
+    return angle, dist, wtime
+
+
+def _quad_solve(a, b, c, tref, tdiv, clamp_disc):
+    rd1 = b * b - 4.0 * a * c
+    ok = rd1 > 0.0
+    if clamp_disc:
+        rd1 = jnp.maximum(rd1, 0.0)
+        ok = jnp.full(rd1.shape, True)
+    rd1 = jnp.maximum(rd1, 0.0)
+    t = (tref + (-b + jnp.sqrt(rd1)) / (2.0 * a)) / tdiv
+    return t, ok
+
+
+def _axis_or_diag_family(nbr, known, slown, h, quadrants, family):
+    """Shared structure of the fouds18_A axis family (h = dnx,
+    Anis_TTF_rays.py:319-459) and diagonal family (h = sqrt(2) dnx,
+    Anis_TTF_rays.py:506-691).  ``quadrants`` is a list of (J, K) unit
+    offsets; J2 = 2J, K2 = 2K.  Returns the family minimum (INF if none).
+
+    Family differences replicated exactly:
+    * axis clamps a negative discriminant to 0 (:451-452); the diagonal
+      family skips the candidate instead (:684);
+    * the two-first-order branch constant: -(h s)^2 for axis (:418) vs
+      -(4/9)(h s)^2 for diagonal (:635);
+    * tdiv quirks (:389-395 vs :606, :435 vs :659).
+    """
+    clamp_disc = family == "axis"
+    best = None
+    for (J, K), quad_inb in quadrants:
+        J2 = (2 * J[0], 2 * J[1])
+        K2 = (2 * K[0], 2 * K[1])
+        tJ, tJ2, tK, tK2 = nbr[J], nbr[J2], nbr[K], nbr[K2]
+        kJ, kJ2, kK, kK2 = known[J], known[J2], known[K], known[K2]
+        swj = kJ2 & kJ & (tJ >= tJ2)
+        swk = kK2 & kK & (tK >= tK2)
+        e1 = 4.0 * tJ - tJ2
+        e2 = 4.0 * tK - tK2
+        hs = h * slown
+
+        # Priority-ordered branch table (exactly one fires per point).
+        b_1 = swj & swk
+        b_2 = swj & ~swk & kK
+        b_3 = swj & ~swk & ~kK
+        b_4 = ~swj & kJ & swk
+        b_5 = ~swj & kJ & ~swk & kK
+        b_6 = ~swj & kJ & ~swk & ~kK
+        b_7 = ~swj & ~kJ & swk
+        b_8 = ~swj & ~kJ & ~swk & kK
+        any_b = b_1 | b_2 | b_3 | b_4 | b_5 | b_6 | b_7 | b_8
+
+        a = jnp.where(
+            b_1 | b_2 | b_4, 18.0, jnp.where(b_5, 2.0, 1.0)
+        )
+        b = jnp.where(
+            b_1,
+            -6.0 * (e1 + e2),
+            jnp.where(
+                b_2,
+                -6.0 * (3.0 * tK + e1),
+                jnp.where(
+                    b_4,
+                    -6.0 * (3.0 * tJ + e2),
+                    jnp.where(b_5, -2.0 * (tK + tJ), 0.0),
+                ),
+            ),
+        )
+        c = jnp.where(
+            b_1,
+            e1 * e1 + e2 * e2 - 4.0 * (2.0 * hs) ** 2,
+            jnp.where(
+                b_2,
+                (3.0 * tK) ** 2 + e1 * e1 - 4.0 * (2.0 * hs) ** 2,
+                jnp.where(
+                    b_3,
+                    -((2.0 * hs) ** 2),
+                    jnp.where(
+                        b_4,
+                        (3.0 * tJ) ** 2 + e2 * e2 - 12.0 * hs * hs,
+                        jnp.where(
+                            b_5,
+                            tK * tK + tJ * tJ
+                            - (hs * hs if clamp_disc else (4.0 / 9.0) * hs * hs),
+                            jnp.where(
+                                b_6,
+                                -((tJ + hs) ** 2),
+                                jnp.where(
+                                    b_7,
+                                    -((2.0 * hs) ** 2),
+                                    -((tK + hs) ** 2),
+                                ),
+                            ),
+                        ),
+                    ),
+                ),
+            ),
+        )
+        tref = jnp.where(
+            b_3, e1, jnp.where(b_7, e2, 0.0)
+        )
+        # Quirk parity: the axis family's horizontal-2nd-order-only branch has
+        # tdiv overwritten back to 1.0 (Anis_TTF_rays.py:389-395); the
+        # vertical one keeps 3.0 (:435); the diagonal family keeps 3.0 for
+        # both (:606, :659).
+        if clamp_disc:  # axis family
+            tdiv = jnp.where(b_7, 3.0, 1.0)
+        else:  # diagonal family
+            tdiv = jnp.where(b_3 | b_7, 3.0, 1.0)
+        t, ok = _quad_solve(a, b, c, tref, tdiv, clamp_disc)
+        cand = jnp.where(any_b & ok & quad_inb, t, INF)
+        best = cand if best is None else jnp.minimum(best, cand)
+    return best
+
+
+def _knight_family(nbr, known, inb, slown, dnx, cycle):
+    """fouds18_A knight's-move family (Anis_TTF_rays.py:736-795, :836-893).
+    A pair only counts when both of its points are inside the grid
+    (the reference's nested bounds tests at :748-751)."""
+    u = SQRT5 * dnx
+    best = None
+    for l in range(4):
+        p = cycle[l]
+        q = cycle[(l + 1) % 4]
+        tp, tq = nbr[p], nbr[q]
+        pair_inb = inb[p] & inb[q]
+        kp, kq = known[p] & pair_inb, known[q] & pair_inb
+        us = u * slown
+        both = kp & kq
+        a = jnp.where(both, 2.0, 1.0)
+        b = jnp.where(both, -2.0 * (tq + tp), 0.0)
+        c = jnp.where(
+            both,
+            tq * tq + tp * tp - 2.0 * us * us,
+            -(us * us),
+        )
+        tref = jnp.where(both, 0.0, jnp.where(kp, tp, tq))
+        rd1 = jnp.maximum(b * b - 4.0 * a * c, 0.0)
+        t = tref + (-b + jnp.sqrt(rd1)) / (2.0 * a)
+        cand = jnp.where(kp | kq, t, INF)
+        best = cand if best is None else jnp.minimum(best, cand)
+    return best
+
+
+def _fouds_candidate(nbr, known, inb, fbs, tt_center, dnx):
+    """Vectorised fouds18_A: min over the four stencil families, then min
+    with the existing value (Anis_TTF_rays.py:898-899).  A quadrant only
+    participates when both of its primary points are inside the grid
+    (reference bounds tests at :320, :339, :511, :539)."""
+    axis_quads = [
+        (((0, jx), (kz, 0)), inb[(0, jx)] & inb[(kz, 0)])
+        for jx in (-1, 1)
+        for kz in (-1, 1)
+    ]
+    travm = _axis_or_diag_family(nbr, known, fbs[0], dnx, axis_quads, family="axis")
+    # diagonal quadrants: d in {(+1,-1), (-1,+1)}, skew in {(-1,-1), (+1,+1)}
+    diag_quads = [
+        ((d, s), inb[d] & inb[s])
+        for d in ((1, -1), (-1, 1))
+        for s in ((-1, -1), (1, 1))
+    ]
+    travmd = _axis_or_diag_family(
+        nbr, known, fbs[1], SQRT2 * dnx, diag_quads, family="diag"
+    )
+    out = jnp.minimum(travm, travmd)
+    out = jnp.minimum(out, _knight_family(nbr, known, inb, fbs[2], dnx, _KNIGHT_A))
+    out = jnp.minimum(out, _knight_family(nbr, known, inb, fbs[3], dnx, _KNIGHT_B))
+    return jnp.minimum(out, tt_center)
+
+
+def local_update(
+    nbr: Dict[Tuple[int, int], jnp.ndarray],
+    known: Dict[Tuple[int, int], jnp.ndarray],
+    inb: Dict[Tuple[int, int], jnp.ndarray],
+    tt_center: jnp.ndarray,
+    veln,
+    velpn,
+    vel_map,
+    stif,
+    fbs,
+    edges,
+    model: "gridlib.Model",
+    dnx: float,
+):
+    """One local solve at every point of a block.
+
+    Returns the new travel-time estimate (INF where no stencil of either
+    solver applies).  Matches the reference control flow: ALI update first;
+    where it reports no usable stencil (dist == -1) fall back to the
+    multi-stencil FD estimate.
+    """
+    angle, dist, wtime = _ali_candidate(nbr, known, edges)
+    eff = jnp.mod(veln - angle, 180.0)
+    vel = gridlib.phase_velocity_at(model, eff, velpn=velpn, vel_map=vel_map, stif=stif)
+    ali_val = wtime + dist * dnx / vel
+    ali_ok = dist >= 0.0
+    fouds_val = _fouds_candidate(nbr, known, inb, fbs, tt_center, dnx)
+    return jnp.where(ali_ok, ali_val, fouds_val)
+
+
+def neighbors_from_padded(tt_pad, Z, X):
+    """Build the 24 neighbour views from a (+2 INF)-padded array whose last
+    two dims are (Z + 4, X + 4).  Leading batch dims pass through."""
+    nbr = {}
+    known = {}
+    for (dz, dx) in OFFSETS:
+        v = tt_pad[..., 2 + dz : 2 + dz + Z, 2 + dx : 2 + dx + X]
+        nbr[(dz, dx)] = v
+        known[(dz, dx)] = v < INF * 0.5
+    return nbr, known
+
+
+def edge_masks(Z, X, dtype=bool):
+    """Boundary masks for a full (Z, X) block."""
+    iz = jnp.arange(Z)[:, None]
+    ix = jnp.arange(X)[None, :]
+    return dict(
+        top=jnp.broadcast_to(iz == 0, (Z, X)),
+        bottom=jnp.broadcast_to(iz == Z - 1, (Z, X)),
+        left=jnp.broadcast_to(ix == 0, (Z, X)),
+        right=jnp.broadcast_to(ix == X - 1, (Z, X)),
+    )
+
+
+def inbounds_masks(Z, X):
+    """For each offset, whether the neighbour coordinate stays inside a
+    (Z, X) grid, per target point."""
+    iz = jnp.arange(Z)[:, None]
+    ix = jnp.arange(X)[None, :]
+    out = {}
+    for (dz, dx) in OFFSETS:
+        ok_z = (iz + dz >= 0) & (iz + dz <= Z - 1)
+        ok_x = (ix + dx >= 0) & (ix + dx <= X - 1)
+        out[(dz, dx)] = jnp.broadcast_to(ok_z & ok_x, (Z, X))
+    return out
+
+
+def full_grid_update(tt, model: gridlib.Model, fixed_mask):
+    """One Jacobi pass of the local update over the whole grid.
+
+    ``tt`` is (..., Z, X) with INF at unknown points; ``fixed_mask`` marks
+    clamped points (source seeds / injected telescoping values)."""
+    Z, X = tt.shape[-2], tt.shape[-1]
+    pad = [(0, 0)] * (tt.ndim - 2) + [(2, 2), (2, 2)]
+    tt_pad = jnp.pad(tt, pad, constant_values=INF)
+    nbr, known = neighbors_from_padded(tt_pad, Z, X)
+    edges = edge_masks(Z, X)
+    inb = inbounds_masks(Z, X)
+    new = local_update(
+        nbr,
+        known,
+        inb,
+        tt,
+        model.veln,
+        model.velpn,
+        model.vel_map,
+        model.stif,
+        model.fallback_slowness,
+        edges,
+        model,
+        model.dnx,
+    )
+    return jnp.where(fixed_mask, tt, new)

@@ -1,0 +1,102 @@
+"""Physics-layer tests: Christoffel velocities and velocity tables against
+the reference's closed forms (executed via the pure-Python oracle)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from alifmm_tpu import materials as mats
+
+from ref_shim import load_reference
+
+ref = load_reference()
+
+# austenitic-steel-like stiffnesses in MPa + density (reference convention
+# for the runtime solve, Anis_TTF_rays.py:269)
+C22, C23, C33, C44, RHO = 263000, 145000, 216000, 129000, 7800
+
+
+def test_group_velocity_matches_reference_scalar():
+    # Avoid sampling exactly on the 0.01-degree near-axis guard: jnp.mod and
+    # Python % can disagree in the last ulp right at the threshold.
+    angles = np.concatenate(
+        [np.linspace(0.0, 179.95, 777), [0.0, 45.0, 90.0, 135.0, 89.995, 0.005]]
+    )
+    want = np.array(
+        [ref.group_vel(a, C22, C23, C33, C44, RHO, 1.0) for a in angles]
+    )
+    got = np.asarray(
+        mats.group_velocity_christoffel(
+            jnp.asarray(angles, jnp.float64), C22, C23, C33, C44, RHO, 1.0
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
+def test_group_velocity_periodicity():
+    a = jnp.linspace(0.0, 179.0, 180, dtype=jnp.float64)
+    v1 = mats.group_velocity_christoffel(a, C22, C23, C33, C44, RHO)
+    v2 = mats.group_velocity_christoffel(a + 180.0, C22, C23, C33, C44, RHO)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-12)
+
+
+def test_phase_velocity_isotropic():
+    # isotropic: c22 == c33, c23 = c22 - 2 c44  =>  v = sqrt(c22 / rho)
+    c22 = 250000.0
+    c44 = 80000.0
+    c23 = c22 - 2 * c44
+    a = jnp.linspace(0.0, 179.0, 180, dtype=jnp.float64)
+    v = np.asarray(mats.phase_velocity_christoffel(a, c22, c23, c22, c44, RHO))
+    np.testing.assert_allclose(v, 1000.0 * np.sqrt(c22 / RHO), rtol=1e-10)
+
+
+def test_generate_curves_match_reference_class():
+    cls = ref.ALI_FMM(
+        np.zeros((4, 4)),
+        np.ones((4, 4), dtype=int),
+        np.ones((4, 4)),
+        np.array([0.0]),
+        np.array([0.0]),
+    )
+    # stiffness in Pa for the curve generators (Anis_TTF_rays.py:4116-4124)
+    args = (C22 * 1e6, C23 * 1e6, C33 * 1e6, C44 * 1e6, RHO)
+    want_g = cls.generate_group_vel(*args, plot=False)
+    want_p = cls.generate_phase_vel(*args, plot=False)
+    got_g = mats.generate_group_vel_curve(*args)
+    got_p = mats.generate_phase_vel_curve(*args)
+    np.testing.assert_allclose(got_g, want_g, rtol=1e-12)
+    np.testing.assert_allclose(got_p, want_p, rtol=1e-12)
+
+
+def test_phase_curve_consistent_with_pointwise():
+    curve = mats.generate_phase_vel_curve(
+        C22 * 1e6, C23 * 1e6, C33 * 1e6, C44 * 1e6, RHO
+    )
+    # MPa closed form with 1000x factor must agree with the Pa curve
+    a = jnp.arange(1.0, 180.0, dtype=jnp.float64)
+    v = np.asarray(mats.phase_velocity_christoffel(a, C22, C23, C33, C44, RHO))
+    np.testing.assert_allclose(v, curve[1:180], rtol=1e-10)
+
+
+def test_interp_table_matches_reference_lookup():
+    rng = np.random.default_rng(0)
+    tab = np.ones((361, 3))
+    tab[:, 0] = np.arange(361)
+    tab[:, 1] = 3000 + 500 * np.sin(np.radians(2 * np.arange(361)))
+    tab[:, 2] = 4000 + 300 * np.cos(np.radians(2 * np.arange(361)))
+    eff = rng.uniform(0, 179.999, 64)
+    m = rng.integers(1, 3, 64)
+    vm = rng.uniform(0.5, 2.0, 64)
+    want = np.empty(64)
+    for i in range(64):
+        a1 = int(np.floor(eff[i]))
+        a2 = (a1 + 1) % 180
+        w = eff[i] - a1
+        want[i] = vm[i] * ((1 - w) * tab[a1, m[i]] + w * tab[a2, m[i]])
+    got = np.asarray(
+        mats.interp_table(
+            jnp.asarray(tab), jnp.asarray(eff), jnp.asarray(m), jnp.asarray(vm)
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-12)
