@@ -88,7 +88,9 @@ class Model:
     group_tab: jnp.ndarray     # (361, M)
     phase_tab: jnp.ndarray     # (361, M)
     fallback_slowness: jnp.ndarray  # (4, Z, X)
-    dnx: float = dataclasses.field(metadata=dict(static=True))
+    # dnx is a data (traced) leaf so same-shape solver stages that differ
+    # only in grid spacing share one compilation.
+    dnx: jnp.ndarray
     has_stif: bool = dataclasses.field(metadata=dict(static=True))
     # seed_sign replicates the travel/travel_finer_grid discrepancy in the
     # analytic source seeding: travel uses eff = (veln - angle) % 180
@@ -216,7 +218,7 @@ def make_model(
         group_tab=group_tab,
         phase_tab=phase_tab,
         fallback_slowness=fb,
-        dnx=float(dnx),
+        dnx=jnp.asarray(dnx, dtype=dtype),
         has_stif=has_stif,
     )
 

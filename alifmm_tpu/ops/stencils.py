@@ -115,10 +115,12 @@ def _wavefront_angle_dist(xA, zA, xB, zB, xC, zC, yA, yB, yC):
 
 
 def _ali_candidate(nbr, known, edges):
-    """Best ALI stencil for every point: returns (angle, dist, wtime) with
-    dist = -1 where no stencil is usable (-> fouds fallback)."""
+    """Best ALI stencil for every point: returns (angle, dist, wtime,
+    inputs_max) with dist = -1 where no stencil is usable (-> fouds
+    fallback).  ``inputs_max`` is the largest stencil value used, for the
+    optional causality filter of the iterative driver."""
     # ---- square stencils --------------------------------------------------
-    diffs, angles, dists, wtimes = [], [], [], []
+    diffs, angles, dists, wtimes, maxs = [], [], [], [], []
     for (A, P, Q) in _SQ:
         tA, tP, tQ = nbr[A], nbr[P], nbr[Q]
         valid = known[A] & known[P] & known[Q]
@@ -137,6 +139,7 @@ def _ali_candidate(nbr, known, edges):
         angles.append(ang)
         dists.append(dst)
         wtimes.append(yB)
+        maxs.append(jnp.maximum(tA, jnp.maximum(tP, tQ)))
     sq_diff = jnp.stack(diffs)
     best = jnp.argmin(sq_diff, axis=0)
     sq_min_diff = jnp.min(sq_diff, axis=0)
@@ -148,11 +151,12 @@ def _ali_candidate(nbr, known, edges):
     sq_angle = _sel(jnp.stack(angles))
     sq_dist = _sel(jnp.stack(dists))
     sq_wtime = _sel(jnp.stack(wtimes))
+    sq_max = _sel(jnp.stack(maxs))
 
     # ---- triangular stencils ----------------------------------------------
     c1 = SQRT2 - 1.0
     c2 = 2.0 - SQRT2
-    t_diffs, t_angles, t_dists, t_wtimes = [], [], [], []
+    t_diffs, t_angles, t_dists, t_wtimes, t_maxs = [], [], [], [], []
     for spec in _TRI:
         F, M, D = spec["F"], spec["M"], spec["D"]
         tF, tM, tD = nbr[F], nbr[M], nbr[D]
@@ -181,6 +185,7 @@ def _ali_candidate(nbr, known, edges):
         t_angles.append(ang)
         t_dists.append(dst)
         t_wtimes.append(wt)
+        t_maxs.append(jnp.maximum(tM, tD))  # tF < min(tM, tD) when valid
     tri_diff = jnp.stack(t_diffs)
     tri_best = jnp.argmin(tri_diff, axis=0)
     tri_min_diff = jnp.min(tri_diff, axis=0)
@@ -192,6 +197,7 @@ def _ali_candidate(nbr, known, edges):
     tri_angle = _tsel(jnp.stack(t_angles))
     tri_dist = _tsel(jnp.stack(t_dists))
     tri_wtime = _tsel(jnp.stack(t_wtimes))
+    tri_max = _tsel(jnp.stack(t_maxs))
 
     # ---- combine (Anis_TTF_rays.py:1146, :1202-1262) -----------------------
     on_boundary = edges["left"] | edges["right"] | edges["top"] | edges["bottom"]
@@ -202,7 +208,8 @@ def _ali_candidate(nbr, known, edges):
     angle = jnp.where(use_tri, tri_angle, sq_angle)
     dist = jnp.where(use_tri, tri_dist, jnp.where(sq_any, sq_dist, -1.0))
     wtime = jnp.where(use_tri, tri_wtime, sq_wtime)
-    return angle, dist, wtime
+    inputs_max = jnp.where(use_tri, tri_max, sq_max)
+    return angle, dist, wtime, inputs_max
 
 
 def _quad_solve(a, b, c, tref, tdiv, clamp_disc):
@@ -216,7 +223,7 @@ def _quad_solve(a, b, c, tref, tdiv, clamp_disc):
     return t, ok
 
 
-def _axis_or_diag_family(nbr, known, slown, h, quadrants, family):
+def _axis_or_diag_family(nbr, known, slown, h, quadrants, family, causal=False):
     """Shared structure of the fouds18_A axis family (h = dnx,
     Anis_TTF_rays.py:319-459) and diagonal family (h = sqrt(2) dnx,
     Anis_TTF_rays.py:506-691).  ``quadrants`` is a list of (J, K) unit
@@ -311,12 +318,23 @@ def _axis_or_diag_family(nbr, known, slown, h, quadrants, family):
         else:  # diagonal family
             tdiv = jnp.where(b_3 | b_7, 3.0, 1.0)
         t, ok = _quad_solve(a, b, c, tref, tdiv, clamp_disc)
+        if causal:
+            # Causality filter for the iterative driver: a candidate that
+            # undercuts the values it was built from reflects a not-yet-
+            # converged neighbourhood, never the final solution (swj/swk
+            # already force tJ2 <= tJ, tK2 <= tK, so tJ/tK dominate).
+            uses_j = b_1 | b_2 | b_3 | b_4 | b_5 | b_6
+            uses_k = b_1 | b_2 | b_4 | b_5 | b_7 | b_8
+            imax = jnp.maximum(
+                jnp.where(uses_j, tJ, -INF), jnp.where(uses_k, tK, -INF)
+            )
+            ok = ok & (t >= imax)
         cand = jnp.where(any_b & ok & quad_inb, t, INF)
         best = cand if best is None else jnp.minimum(best, cand)
     return best
 
 
-def _knight_family(nbr, known, inb, slown, dnx, cycle):
+def _knight_family(nbr, known, inb, slown, dnx, cycle, causal=False):
     """fouds18_A knight's-move family (Anis_TTF_rays.py:736-795, :836-893).
     A pair only counts when both of its points are inside the grid
     (the reference's nested bounds tests at :748-751)."""
@@ -340,12 +358,18 @@ def _knight_family(nbr, known, inb, slown, dnx, cycle):
         tref = jnp.where(both, 0.0, jnp.where(kp, tp, tq))
         rd1 = jnp.maximum(b * b - 4.0 * a * c, 0.0)
         t = tref + (-b + jnp.sqrt(rd1)) / (2.0 * a)
-        cand = jnp.where(kp | kq, t, INF)
+        ok = kp | kq
+        if causal:
+            imax = jnp.maximum(
+                jnp.where(kp, tp, -INF), jnp.where(kq, tq, -INF)
+            )
+            ok = ok & (t >= imax)
+        cand = jnp.where(ok, t, INF)
         best = cand if best is None else jnp.minimum(best, cand)
     return best
 
 
-def _fouds_candidate(nbr, known, inb, fbs, tt_center, dnx):
+def _fouds_candidate(nbr, known, inb, fbs, tt_center, dnx, causal=False):
     """Vectorised fouds18_A: min over the four stencil families, then min
     with the existing value (Anis_TTF_rays.py:898-899).  A quadrant only
     participates when both of its primary points are inside the grid
@@ -355,7 +379,9 @@ def _fouds_candidate(nbr, known, inb, fbs, tt_center, dnx):
         for jx in (-1, 1)
         for kz in (-1, 1)
     ]
-    travm = _axis_or_diag_family(nbr, known, fbs[0], dnx, axis_quads, family="axis")
+    travm = _axis_or_diag_family(
+        nbr, known, fbs[0], dnx, axis_quads, family="axis", causal=causal
+    )
     # diagonal quadrants: d in {(+1,-1), (-1,+1)}, skew in {(-1,-1), (+1,+1)}
     diag_quads = [
         ((d, s), inb[d] & inb[s])
@@ -363,11 +389,15 @@ def _fouds_candidate(nbr, known, inb, fbs, tt_center, dnx):
         for s in ((-1, -1), (1, 1))
     ]
     travmd = _axis_or_diag_family(
-        nbr, known, fbs[1], SQRT2 * dnx, diag_quads, family="diag"
+        nbr, known, fbs[1], SQRT2 * dnx, diag_quads, family="diag", causal=causal
     )
     out = jnp.minimum(travm, travmd)
-    out = jnp.minimum(out, _knight_family(nbr, known, inb, fbs[2], dnx, _KNIGHT_A))
-    out = jnp.minimum(out, _knight_family(nbr, known, inb, fbs[3], dnx, _KNIGHT_B))
+    out = jnp.minimum(
+        out, _knight_family(nbr, known, inb, fbs[2], dnx, _KNIGHT_A, causal)
+    )
+    out = jnp.minimum(
+        out, _knight_family(nbr, known, inb, fbs[3], dnx, _KNIGHT_B, causal)
+    )
     return jnp.minimum(out, tt_center)
 
 
@@ -384,6 +414,7 @@ def local_update(
     edges,
     model: "gridlib.Model",
     dnx: float,
+    causal: bool = False,
 ):
     """One local solve at every point of a block.
 
@@ -391,13 +422,21 @@ def local_update(
     solver applies).  Matches the reference control flow: ALI update first;
     where it reports no usable stencil (dist == -1) fall back to the
     multi-stencil FD estimate.
+
+    ``causal=True`` additionally rejects candidates smaller than the
+    largest stencil value they were computed from -- required for stable
+    convergence of the parallel iterative driver (the reference's heap
+    ordering provides this implicitly); ``causal=False`` is the exact
+    reference operator used for parity tests and polish passes.
     """
-    angle, dist, wtime = _ali_candidate(nbr, known, edges)
+    angle, dist, wtime, imax = _ali_candidate(nbr, known, edges)
     eff = jnp.mod(veln - angle, 180.0)
     vel = gridlib.phase_velocity_at(model, eff, velpn=velpn, vel_map=vel_map, stif=stif)
     ali_val = wtime + dist * dnx / vel
     ali_ok = dist >= 0.0
-    fouds_val = _fouds_candidate(nbr, known, inb, fbs, tt_center, dnx)
+    if causal:
+        ali_ok = ali_ok & (ali_val >= imax)
+    fouds_val = _fouds_candidate(nbr, known, inb, fbs, tt_center, dnx, causal)
     return jnp.where(ali_ok, ali_val, fouds_val)
 
 
@@ -438,7 +477,7 @@ def inbounds_masks(Z, X):
     return out
 
 
-def full_grid_update(tt, model: gridlib.Model, fixed_mask):
+def full_grid_update(tt, model: gridlib.Model, fixed_mask, causal=False):
     """One Jacobi pass of the local update over the whole grid.
 
     ``tt`` is (..., Z, X) with INF at unknown points; ``fixed_mask`` marks
@@ -462,5 +501,6 @@ def full_grid_update(tt, model: gridlib.Model, fixed_mask):
         edges,
         model,
         model.dnx,
+        causal,
     )
     return jnp.where(fixed_mask, tt, new)

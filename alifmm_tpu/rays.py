@@ -1,0 +1,427 @@
+"""Batched Fermat ray tracing through receiver travel-time fields.
+
+TPU-native re-design of the reference ray tracer:
+
+* ``segment_time``  <- time_between_points (Anis_TTF_rays.py:2835-2989):
+  exact cell-boundary-crossing walk as a fixed-length masked scan.
+* ``ray_times``     <- ray_time            (Anis_TTF_rays.py:2992-3022).
+* ``trace_rays``    <- find_ray            (Anis_TTF_rays.py:3104-3465):
+  plane-search marching, vectorised over (a) all candidate points on the
+  search plane and (b) all source-receiver pairs at once.
+
+The reference picks one of four plane orientations per step with branching;
+here the four cases select a common parameterisation (base point + unit
+step along the plane + valid range) so a single evaluation path serves all
+rays in the batch -- no lax.switch, no per-ray divergence.
+
+Travel-time fields can be sampled in two modes:
+* ``"grid"``   -- rec_TTF lives on the subgrid-refined grid and plane points
+  gather exact grid values (reference parity);
+* ``"interp"`` -- rec_TTF lives on the model grid and plane points sample it
+  bilinearly at virtual fine coordinates (the fast default: the solve stays
+  coarse, rays still march in fine steps).
+
+Coordinates follow the reference convention: ray (x, y) in fine-grid units,
+TTF indexed [y, x], materials looked up on the *original* grid
+(fine / subgrid_size, Anis_TTF_rays.py:2867-2870).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import grid as gridlib
+from . import materials as mats
+
+__all__ = ["segment_time", "ray_times", "trace_rays"]
+
+_BIG = 1.0e30
+
+
+def _material_flat(model: gridlib.Model):
+    """(Z*X, 7) per-cell material rows: veln, velpn, vel_map, c22..rho."""
+    Z, X = model.shape
+    cols = [
+        model.veln,
+        model.velpn.astype(model.veln.dtype),
+        model.vel_map,
+        model.stif[..., 0],
+        model.stif[..., 1],
+        model.stif[..., 2],
+        model.stif[..., 3],
+        model.stif[..., 4],
+    ]
+    return jnp.stack(cols, axis=-1).reshape(Z * X, 8)
+
+
+def _group_velocity_cell(model, mat_row, eff):
+    """Group velocity at effective angle ``eff`` for gathered cell rows
+    (reference velocity dispatch, Anis_TTF_rays.py:2950-2978)."""
+    veln, velpn, vel_map = mat_row[..., 0], mat_row[..., 1], mat_row[..., 2]
+    v_tab = mats.interp_table(
+        model.group_tab, eff, velpn.astype(jnp.int32), vel_map
+    )
+    if not model.has_stif:
+        return v_tab
+    v_chr = mats.group_velocity_christoffel(
+        eff, mat_row[..., 3], mat_row[..., 4], mat_row[..., 5],
+        mat_row[..., 6], mat_row[..., 7], vel_map,
+    )
+    return jnp.where(velpn != 0, v_tab, v_chr)
+
+
+def segment_time(model: gridlib.Model, mat_flat, x1, y1, x2, y2,
+                 subgrid_size, max_cross: int = 16):
+    """Straight-segment travel time between fine-grid points, integrating
+    cell by cell exactly like time_between_points.
+
+    All coordinate arguments broadcast (the caller batches over rays and
+    candidates).  ``max_cross`` bounds the number of cell-boundary crossings
+    (the plane-search geometry keeps segments under ~6 cells).
+    """
+    Z, X = model.shape
+    dt = model.vel_map.dtype
+    s = subgrid_size
+    x1, x2 = x1 / s, x2 / s
+    y1, y2 = y1 / s, y2 / s
+
+    dx_zero = x2 == x1
+    angle = jnp.where(
+        dx_zero,
+        0.0,
+        jnp.degrees(jnp.arctan((y2 - y1) / jnp.where(dx_zero, 1.0, x2 - x1))),
+    )
+    m = jnp.where(dx_zero, 0.0, (y2 - y1) / jnp.where(dx_zero, 1.0, x2 - x1))
+    c = y1 - m * x1
+    dir_x = jnp.where(x1 < x2, 1.0, -1.0)
+    dir_y = jnp.where(y1 < y2, 1.0, -1.0)
+
+    def body(state, _):
+        prev_x, prev_y, next_x, next_y, fin_x, fin_y, acc = state
+        done = fin_x & fin_y
+
+        past_x = ((next_x > x2) & (dir_x == 1)) | ((next_x < x2) & (dir_x == -1))
+        new_fin_x = fin_x | (past_x & ~fin_x)
+        next_x = jnp.where(past_x & ~fin_x, x2, next_x)
+        past_y = ((next_y > y2) & (dir_y == 1)) | ((next_y < y2) & (dir_y == -1))
+        new_fin_y = fin_y | (past_y & ~fin_y)
+        next_y = jnp.where(past_y & ~fin_y, y2, next_y)
+
+        # choose whether the next crossing is an x- or a y-boundary
+        m_safe = jnp.where(m == 0, 1.0, m)
+        next_x_yval = m * next_x + c
+        next_y_xval = (next_y - c) / m_safe
+        d_xcross = (x1 - next_x) ** 2 + (y1 - next_x_yval) ** 2
+        d_ycross = (x1 - next_y_xval) ** 2 + (y1 - next_y) ** 2
+        take_x = jnp.where(
+            dx_zero, False, jnp.where(m == 0, True, d_xcross < d_ycross)
+        )
+        nxv = jnp.where(dx_zero, x1, jnp.where(take_x, next_x, next_y_xval))
+        nyv = jnp.where(dx_zero, next_y, jnp.where(take_x, next_x_yval, next_y))
+        next_x = jnp.where(take_x & ~dx_zero, next_x + dir_x, next_x)
+        next_y = jnp.where((~take_x) | dx_zero, next_y + dir_y, next_y)
+
+        x_pos = jnp.clip(jnp.round((prev_x + nxv) / 2).astype(jnp.int32), 0, X - 1)
+        y_pos = jnp.clip(jnp.round((prev_y + nyv) / 2).astype(jnp.int32), 0, Z - 1)
+        row = jnp.take(mat_flat, y_pos * X + x_pos, axis=0)
+        eff = jnp.mod(row[..., 0] - angle, 180.0)
+        dist = model.dnx * jnp.sqrt((prev_x - nxv) ** 2 + (prev_y - nyv) ** 2)
+        vel = _group_velocity_cell(model, row, eff)
+        acc = acc + jnp.where(done, 0.0, dist / vel)
+
+        prev_x = jnp.where(done, prev_x, nxv)
+        prev_y = jnp.where(done, prev_y, nyv)
+        return (
+            prev_x, prev_y, next_x, next_y,
+            jnp.where(done, fin_x, new_fin_x),
+            jnp.where(done, fin_y, new_fin_y),
+            acc,
+        ), None
+
+    next_x0 = jnp.round(x1) + dir_x * 0.5
+    next_y0 = jnp.round(y1) + dir_y * 0.5
+    zeros = jnp.zeros(jnp.broadcast_shapes(
+        jnp.shape(x1), jnp.shape(x2), jnp.shape(y1), jnp.shape(y2)), dt)
+    state = (
+        x1 + zeros, y1 + zeros, next_x0 + zeros, next_y0 + zeros,
+        jnp.zeros_like(zeros, bool), jnp.zeros_like(zeros, bool), zeros,
+    )
+    state, _ = jax.lax.scan(body, state, None, length=max_cross)
+    return state[-1]
+
+
+def ray_times(model, mat_flat, ray_x, ray_y, lengths, subgrid_size,
+              max_cross: int = 16):
+    """Travel time along padded ray polylines (ray_time,
+    Anis_TTF_rays.py:2992-3022).  ``ray_x/ray_y``: (R, P) fine coords;
+    segment i counts when i + 1 < lengths."""
+    seg_t = segment_time(
+        model, mat_flat,
+        ray_x[:, :-1], ray_y[:, :-1], ray_x[:, 1:], ray_y[:, 1:],
+        subgrid_size, max_cross,
+    )
+    idx = jnp.arange(ray_x.shape[1] - 1)[None, :]
+    mask = idx + 1 < lengths[:, None]
+    return jnp.sum(jnp.where(mask, seg_t, 0.0), axis=1)
+
+
+def _sample_ttf(ttf, x, y, subgrid_size, mode):
+    """Sample the receiver TTF at fine coordinates (x, y)."""
+    if mode == "grid":
+        Z, X = ttf.shape
+        xi = jnp.clip(jnp.round(x).astype(jnp.int32), 0, X - 1)
+        yi = jnp.clip(jnp.round(y).astype(jnp.int32), 0, Z - 1)
+        return jnp.take(ttf.reshape(-1), yi * X + xi)
+    # bilinear on the model grid at coarse coords
+    Z, X = ttf.shape
+    cx = jnp.clip(x / subgrid_size, 0.0, X - 1.0)
+    cy = jnp.clip(y / subgrid_size, 0.0, Z - 1.0)
+    x0 = jnp.clip(jnp.floor(cx).astype(jnp.int32), 0, X - 2)
+    y0 = jnp.clip(jnp.floor(cy).astype(jnp.int32), 0, Z - 2)
+    fx = cx - x0
+    fy = cy - y0
+    flat = ttf.reshape(-1)
+    v00 = jnp.take(flat, y0 * X + x0)
+    v01 = jnp.take(flat, y0 * X + x0 + 1)
+    v10 = jnp.take(flat, (y0 + 1) * X + x0)
+    v11 = jnp.take(flat, (y0 + 1) * X + x0 + 1)
+    return (
+        v00 * (1 - fy) * (1 - fx)
+        + v01 * (1 - fy) * fx
+        + v10 * fy * (1 - fx)
+        + v11 * fy * fx
+    )
+
+
+def trace_rays(
+    model: gridlib.Model,
+    rec_ttf,
+    source_xy,
+    receiver_xy,
+    subgrid_size: int,
+    mode: str = "grid",
+    max_steps: int | None = None,
+    max_cross: int = 16,
+):
+    """March rays from ``source_xy`` to ``receiver_xy`` through the
+    receiver's travel-time field (find_ray, Anis_TTF_rays.py:3104-3465).
+
+    ``source_xy``/``receiver_xy``: (R, 2) fine-grid (x, y) coordinates.
+    ``rec_ttf``: (R, Zf, Xf) per-ray receiver fields ("grid" mode) or
+    (R, Z, X) model-grid fields ("interp" mode).
+    Returns (ray_x, ray_y, lengths, times): padded (R, P) polylines in fine
+    coordinates including source and receiver, like the reference buffers
+    (5 * (nnz + nnx), Anis_TTF_rays.py:3140).
+    """
+    Z, X = model.shape
+    s = int(subgrid_size)
+    dt = model.vel_map.dtype
+    R = source_xy.shape[0]
+    if mode == "grid":
+        rows, cols = rec_ttf.shape[-2], rec_ttf.shape[-1]
+    else:
+        rows, cols = (Z - 1) * s + 1, (X - 1) * s + 1
+    if max_steps is None:
+        max_steps = 5 * (Z + X)
+    P = max_steps + 2
+
+    plane_dist = 3
+    sd = plane_dist * s + 1                      # search_dist (:3134)
+    sd2 = (plane_dist - 1) * s + 1               # search_dist_2 (:3136)
+    K = 2 * sd + 1                               # max candidates per plane
+
+    mat_flat = _material_flat(model)
+    sqrt2 = np.sqrt(2.0)
+
+    src_x = source_xy[:, 0].astype(dt)
+    src_y = source_xy[:, 1].astype(dt)
+    rec_x = receiver_xy[:, 0].astype(dt)
+    rec_y = receiver_xy[:, 1].astype(dt)
+
+    def _sample_one(i, x, y):
+        tt = rec_ttf[i] if rec_ttf.ndim == 3 else rec_ttf
+        return _sample_ttf(tt, x, y, s, mode)
+
+    sample_b = jax.vmap(_sample_one)
+
+    def step(state):
+        (last_x, last_y, vec_x, vec_y, bx, by, length, done, k) = state
+
+        near2 = (last_x - rec_x) ** 2 + (last_y - rec_y) ** 2
+        # snap toward the receiver inside 4*s (:3158-3160)
+        snap = near2 < (4.0 * s) ** 2
+        vec_x = jnp.where(snap, rec_x - last_x, vec_x)
+        vec_y = jnp.where(snap, rec_y - last_y, vec_y)
+
+        scores = jnp.stack(
+            [
+                jnp.abs(vec_x),
+                jnp.abs(vec_x + vec_y) / sqrt2,
+                jnp.abs(vec_y),
+                jnp.abs(vec_x - vec_y) / sqrt2,
+            ]
+        )
+        dir_index = jnp.argmax(scores, axis=0)
+
+        rl_x = jnp.round(last_x)
+        rl_y = jnp.round(last_y)
+
+        # --- plane parameterisation per case ------------------------------
+        # case 0: x = c      -> points (c, y0 + i),     i in [0, n)
+        # case 1: y = -x + c -> points (x0 + i, c - x), moving up-right/down-left
+        # case 2: y = c      -> points (x0 + i, c)
+        # case 3: y = x + c  -> points (x0 + i, x + c)
+        c0 = rl_x + jnp.where(vec_x > 0, float(s), -float(s))
+        oob0 = (c0 < 0) | (c0 >= cols)
+        lo0 = jnp.maximum(0.0, rl_y - sd)
+        hi0 = jnp.minimum(rows - 1.0, rl_y + sd)
+
+        c1 = rl_x + rl_y + jnp.where(vec_x > 0, float(s), -float(s))
+        lo1 = jnp.where(
+            vec_x > 0,
+            jnp.maximum(jnp.maximum(0.0, c1 - (rows - 1.0)), rl_x - sd2),
+            jnp.maximum(jnp.maximum(0.0, c1 - (rows - 1.0)), c1 - rl_y - sd2),
+        )
+        hi1 = jnp.where(
+            vec_x > 0,
+            jnp.minimum(jnp.minimum(cols - 1.0, c1), c1 - rl_y + sd2),
+            jnp.minimum(jnp.minimum(cols - 1.0, c1), rl_x + sd2),
+        )
+
+        c2 = rl_y + jnp.where(vec_y > 0, float(s), -float(s))
+        oob2 = (c2 < 0) | (c2 >= rows)
+        lo2 = jnp.maximum(0.0, rl_x - sd)
+        hi2 = jnp.minimum(cols - 1.0, rl_x + sd)
+
+        c3 = rl_y - rl_x + jnp.where(vec_x < 0, float(s), -float(s))
+        lo3 = jnp.where(
+            vec_x < 0,
+            jnp.maximum(jnp.maximum(0.0, -c3), rl_y - c3 - sd2),
+            jnp.maximum(jnp.maximum(0.0, -c3), rl_x - sd2),
+        )
+        hi3 = jnp.where(
+            vec_x < 0,
+            jnp.minimum(jnp.minimum(cols - 1.0, (rows - 1.0) - c3), rl_x + sd2),
+            jnp.minimum(
+                jnp.minimum(cols - 1.0, (rows - 1.0) - c3), rl_y - c3 + sd2
+            ),
+        )
+
+        def pick(v0, v1, v2, v3):
+            vals = jnp.broadcast_arrays(
+                jnp.asarray(v0, dt), jnp.asarray(v1, dt),
+                jnp.asarray(v2, dt), jnp.asarray(v3, dt),
+            )
+            d = dir_index.reshape(
+                dir_index.shape + (1,) * (vals[0].ndim - dir_index.ndim)
+            )
+            return jnp.where(
+                d == 0,
+                vals[0],
+                jnp.where(d == 1, vals[1], jnp.where(d == 2, vals[2], vals[3])),
+            )
+
+        lo = pick(lo0, lo1, lo2, lo3)
+        hi = pick(hi0, hi1, hi2, hi3)
+        # walk coordinate w: case 0 walks y, others walk x
+        w = lo[:, None] + jnp.arange(K, dtype=dt)[None, :]
+        w = jnp.minimum(w, hi[:, None])
+        n_k = jnp.maximum((hi - lo).astype(jnp.int32) + 1, 1)
+
+        px = pick(c0[:, None] + 0 * w, w, w, w)
+        py = pick(w, c1[:, None] - w, c2[:, None] + 0 * w, w + c3[:, None])
+
+        ridx = jnp.arange(R)
+        tt_plane = sample_b(ridx, px, py)
+        seg = segment_time(
+            model, mat_flat,
+            last_x[:, None], last_y[:, None], px, py, s, max_cross,
+        )
+        TT = tt_plane + seg
+        col = jnp.arange(K)[None, :]
+        TT = jnp.where(col < n_k[:, None], TT, _BIG)
+
+        # endpoints (:3192-3197)
+        tt_first = TT[:, 0]
+        tt_last = jnp.take_along_axis(TT, (n_k - 1)[:, None], axis=1)[:, 0]
+        best_val = jnp.where(tt_first < tt_last, tt_first, tt_last)
+        best_pos = jnp.where(tt_first < tt_last, 0.0, (n_k - 1).astype(dt))
+
+        # interior local minima with quadratic refinement (:3199-3218)
+        t1 = TT[:, :-2]
+        t2 = TT[:, 1:-1]
+        t3 = TT[:, 2:]
+        is_min = (t1 >= t2) & (t2 <= t3) & (col[:, :-2] + 2 < n_k[:, None])
+        a = (t1 + t3 - 2 * t2) / 2
+        b = (t3 - t1) / 2
+        a_zero = a == 0
+        off = jnp.where(a_zero, 0.0, -b / (2 * jnp.where(a_zero, 1.0, a)))
+        val = jnp.where(a_zero, t2, a * off * off + b * off + t2)
+        pos = off + (col[:, :-2] + 1).astype(dt)
+        val = jnp.where(is_min, val, _BIG)
+        jbest = jnp.argmin(val, axis=1)
+        v_loc = jnp.take_along_axis(val, jbest[:, None], axis=1)[:, 0]
+        p_loc = jnp.take_along_axis(pos, jbest[:, None], axis=1)[:, 0]
+        use_loc = v_loc < best_val
+        best_pos = jnp.where(use_loc, p_loc, best_pos)
+
+        wq = lo + best_pos
+        new_x = pick(c0, wq, wq, wq)
+        new_y = pick(wq, c1 - wq, c2, wq + c3)
+
+        # terminations: plane left the grid (:3172, :3294) -> finish early
+        plane_oob = ((dir_index == 0) & oob0) | ((dir_index == 2) & oob2)
+        # increasing travel time to receiver -> truncate (:3406-3423)
+        tt_last_pt = sample_b(ridx, rl_x, rl_y)
+        tt_new_pt = sample_b(ridx, jnp.round(new_x), jnp.round(new_y))
+        increasing = tt_last_pt < tt_new_pt
+
+        stop = done | plane_oob | increasing
+        add = ~stop
+
+        bx = bx.at[ridx, length].set(jnp.where(add, new_x, bx[ridx, length]))
+        by = by.at[ridx, length].set(jnp.where(add, new_y, by[ridx, length]))
+        vec_x = jnp.where(add, new_x - last_x, vec_x)
+        vec_y = jnp.where(add, new_y - last_y, vec_y)
+        last_x = jnp.where(add, new_x, last_x)
+        last_y = jnp.where(add, new_y, last_y)
+        length = jnp.where(add, length + 1, length)
+
+        # arrival test for the *next* iteration (:3156)
+        arrived = (last_x - rec_x) ** 2 + (last_y - rec_y) ** 2 <= (
+            1.6 * s
+        ) ** 2
+        done = stop | arrived
+        return (last_x, last_y, vec_x, vec_y, bx, by, length, done, k + 1)
+
+    bx = jnp.zeros((R, P), dt)
+    by = jnp.zeros((R, P), dt)
+    bx = bx.at[:, 0].set(src_x)
+    by = by.at[:, 0].set(src_y)
+    arrived0 = (src_x - rec_x) ** 2 + (src_y - rec_y) ** 2 <= (1.6 * s) ** 2
+    state = (
+        src_x, src_y, rec_x - src_x, rec_y - src_y, bx, by,
+        jnp.ones((R,), jnp.int32), arrived0, jnp.asarray(0),
+    )
+
+    def cond(state):
+        done = state[7]
+        k = state[8]
+        return (~jnp.all(done)) & (k < max_steps)
+
+    state = jax.lax.while_loop(cond, step, state)
+    last_x, last_y, _, _, bx, by, length, _, _ = state
+
+    # append the receiver (:3453-3457)
+    ridx = jnp.arange(R)
+    bx = bx.at[ridx, length].set(rec_x)
+    by = by.at[ridx, length].set(rec_y)
+    length = length + 1
+
+    times = ray_times(model, mat_flat, bx, by, length, s, max_cross)
+    return bx, by, length, times

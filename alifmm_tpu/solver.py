@@ -1,0 +1,270 @@
+"""Per-source travel-time-field solves with telescoping source refinement.
+
+TPU-native equivalent of the reference drivers:
+
+* ``solve_ttf(..., subgrid_size=1)``  <- travel()            (Anis_TTF_rays.py:1463-2117)
+* ``solve_ttf(..., subgrid_size=s)``  <- travel_finer_grid() (Anis_TTF_rays.py:2120-2832)
+
+Structure mirrors the reference's telescoping: a small window around the
+source is solved on a refined grid (27x / 9x / 3x for the coarse path;
+9x / 3x on top of the global refinement for the fine path), each stage
+seeding the next by injecting every 3rd point; the innermost window is
+seeded analytically with straight rays through the (homogeneous) source
+cell.  Each stage is solved by the parallel line-sweep driver instead of a
+heap march; injected values whose time is below the first arrival at the
+previous window's edge are frozen (the sweep analogue of FMM's "alive"
+points), the rest remain improvable initial values.
+
+All shapes are static: windows keep a fixed size and slide (clamped) at
+grid borders, so a whole transducer array solves as one ``vmap`` over
+sources.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import grid as gridlib
+from . import materials as mats
+from .ops import sweep
+from .ops.stencils import INF
+
+__all__ = ["SolveConfig", "solve_ttf", "solve_one"]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SolveConfig:
+    rel_tol: float = dataclasses.field(default=1e-7, metadata=dict(static=True))
+    patch_max_passes: int = dataclasses.field(default=12, metadata=dict(static=True))
+    final_max_passes: int = dataclasses.field(default=25, metadata=dict(static=True))
+
+
+def _window_origin(center, half, n):
+    """Clamped origin of a (2*half+1)-wide window around ``center``."""
+    return jnp.clip(center - half, 0, jnp.maximum(n - 1 - 2 * half, 0))
+
+
+def _slice_model(model: gridlib.Model, bz, bx, hz, hx, factor, dtype):
+    """Extract a (2hz+1, 2hx+1) window of the model at origin (bz, bx) and
+    NN-refine it by ``factor`` with the reference dtype quirks
+    (veln int32-truncated, vel_map via float32: Anis_TTF_rays.py:1527-1529).
+    """
+    wz, wx = 2 * hz + 1, 2 * hx + 1
+    veln = jax.lax.dynamic_slice(model.veln, (bz, bx), (wz, wx))
+    velpn = jax.lax.dynamic_slice(model.velpn, (bz, bx), (wz, wx))
+    vel_map = jax.lax.dynamic_slice(model.vel_map, (bz, bx), (wz, wx))
+    stif = jax.lax.dynamic_slice(
+        model.stif, (bz, bx, jnp.zeros_like(bz)), (wz, wx, 5)
+    )
+    veln_f = gridlib.refine_nearest(veln, factor, jnp.int32).astype(dtype)
+    velpn_f = gridlib.refine_nearest(velpn, factor)
+    vel_map_f = (
+        gridlib.refine_nearest(vel_map, factor).astype(jnp.float32).astype(dtype)
+    )
+    stif_f = gridlib.refine_nearest_3d(stif, factor)
+    fb = gridlib._fallback_slowness_planes(
+        veln_f, velpn_f, vel_map_f, stif_f, model.group_tab, model.has_stif
+    )
+    return gridlib.Model(
+        veln=veln_f,
+        velpn=velpn_f,
+        vel_map=vel_map_f,
+        stif=stif_f,
+        group_tab=model.group_tab,
+        phase_tab=model.phase_tab,
+        fallback_slowness=fb,
+        dnx=model.dnx / factor,
+        has_stif=model.has_stif,
+    )
+
+
+def _analytic_seed(patch: gridlib.Model, base: gridlib.Model, isz, isx,
+                   src_z, src_x, side, seed_sign, dtype):
+    """Straight-ray times through the homogeneous source cell
+    (Anis_TTF_rays.py:1546-1590 for travel; :2222-2267 for the finer-grid
+    variant, whose effective angle uses the opposite sign, :2234).
+
+    ``(src_z, src_x)`` is the source position on the patch grid; material
+    values are taken at the source cell of the *base* grid (isz, isx).
+    Returns (tt, fixed) on the patch grid.
+    """
+    Z, X = patch.shape
+    dz = jnp.arange(Z, dtype=dtype)[:, None] - src_z
+    dx = jnp.arange(X, dtype=dtype)[None, :] - src_x
+    dz = jnp.broadcast_to(dz, (Z, X))
+    dx = jnp.broadcast_to(dx, (Z, X))
+    in_seed = (jnp.abs(dz) <= side) & (jnp.abs(dx) <= side)
+
+    dx_zero = dx == 0
+    angle = jnp.where(
+        dx_zero, 90.0, jnp.degrees(jnp.arctan(dz / jnp.where(dx_zero, 1.0, dx)))
+    )
+    v_src = base.veln[isz, isx]
+    p_src = base.velpn[isz, isx]
+    m_src = base.vel_map[isz, isx]
+    s_src = base.stif[isz, isx]
+    # seed_sign = -1 -> eff = (veln - angle) % 180   (travel, :1558)
+    # seed_sign = +1 -> eff = (veln + angle) % 180   (travel_finer_grid, :2234)
+    eff = jnp.mod(v_src + seed_sign * angle, 180.0)
+
+    v_tab = mats.interp_table(
+        patch.group_tab, eff, jnp.full((Z, X), p_src, jnp.int32),
+        jnp.full((Z, X), m_src, dtype),
+    )
+    if patch.has_stif:
+        v_chr = mats.group_velocity_christoffel(
+            eff, s_src[0], s_src[1], s_src[2], s_src[3], s_src[4], m_src
+        )
+        vel = jnp.where(p_src != 0, v_tab, v_chr)
+    else:
+        vel = v_tab
+    tt = patch.dnx * jnp.sqrt(dz * dz + dx * dx) / vel
+    tt = jnp.where(in_seed, tt, INF)
+    return tt.astype(dtype), in_seed
+
+
+def _edge_time(tt):
+    """First-arrival time at the boundary of a patch field."""
+    big = jnp.where(tt < INF * 0.5, tt, INF)
+    return jnp.min(
+        jnp.minimum(
+            jnp.minimum(big[0, :].min(), big[-1, :].min()),
+            jnp.minimum(big[:, 0].min(), big[:, -1].min()),
+        )
+    )
+
+
+def _inject(prev_tt, prev_origin, prev_factor_ratio, cur_shape, cur_origin,
+            cur_factor, dtype):
+    """Inject every-3rd-point of the previous stage into the current grid.
+
+    ``prev_origin``/``cur_origin`` are window origins in base-grid cells;
+    ``cur_factor`` is the current grid's refinement relative to the base
+    grid.  The stride-3 subsample of the previous stage has exactly the
+    current grid's spacing (factors step down by 3x).
+    Returns (tt_init, fixed_mask).
+    """
+    sub = prev_tt[::3, ::3]
+    t_edge = _edge_time(prev_tt)
+    off_z = (prev_origin[0] - cur_origin[0]) * cur_factor
+    off_x = (prev_origin[1] - cur_origin[1]) * cur_factor
+    tt = jnp.full(cur_shape, INF, dtype=dtype)
+    tt = jax.lax.dynamic_update_slice(tt, sub, (off_z, off_x))
+    fixed = jnp.zeros(cur_shape, bool)
+    fixed = jax.lax.dynamic_update_slice(
+        fixed, sub <= t_edge, (off_z, off_x)
+    )
+    return tt, fixed
+
+
+def solve_one(
+    model: gridlib.Model,
+    scx,
+    scz,
+    stages,
+    seed_side: int,
+    seed_sign: float,
+    cfg: SolveConfig = SolveConfig(),
+):
+    """Travel-time field for a single source on ``model``'s grid.
+
+    ``stages``: tuple of (window_half_size_cells, refine_factor), outermost
+    last; factors must step down by 3x and end at 3.
+    """
+    dtype = model.vel_map.dtype
+    Z, X = model.shape
+    isx = jnp.round(scx / model.dnx).astype(jnp.int32)
+    isz = jnp.round(scz / model.dnx).astype(jnp.int32)
+
+    prev_tt = None
+    prev_origin = None
+    for k, (half, factor) in enumerate(stages):
+        hz = min(half, (Z - 1) // 2)
+        hx = min(half, (X - 1) // 2)
+        bz = _window_origin(isz, hz, Z)
+        bx = _window_origin(isx, hx, X)
+        patch = _slice_model(model, bz, bx, hz, hx, factor, dtype)
+        if k == 0:
+            src_z = (isz - bz) * factor
+            src_x = (isx - bx) * factor
+            tt, fixed = _analytic_seed(
+                patch, model, isz, isx, src_z, src_x, seed_side, seed_sign,
+                dtype,
+            )
+        else:
+            tt, fixed = _inject(
+                prev_tt, prev_origin, 3, patch.shape, (bz, bx), factor, dtype
+            )
+        tt, _ = sweep.solve_fixpoint(
+            tt, patch, fixed, rel_tol=cfg.rel_tol,
+            max_passes=cfg.patch_max_passes,
+        )
+        prev_tt, prev_origin = tt, (bz, bx)
+
+    # final full-grid stage (factor 1)
+    tt, fixed = _inject(prev_tt, prev_origin, 3, (Z, X), (0, 0), 1, dtype)
+    tt, n = sweep.solve_fixpoint(
+        tt, model, fixed, rel_tol=cfg.rel_tol, max_passes=cfg.final_max_passes
+    )
+    return tt
+
+
+# Coarse-path constants (travel, Anis_TTF_rays.py:1513-1514, :1685-1686,
+# :1852-1853): windows of +-2/+-6/+-13 cells at 27x/9x/3x; analytic seed out
+# to +-13 fine points; effective seed angle (veln - angle).
+_COARSE_STAGES = ((2, 27), (6, 9), (13, 3))
+_COARSE_SEED_SIDE = 13
+_COARSE_SEED_SIGN = -1.0
+
+
+def fine_stage_params(subgrid_size: int):
+    """Stage geometry of travel_finer_grid (Anis_TTF_rays.py:2188-2190,
+    :2355-2356), in fine-grid cells."""
+    s = subgrid_size
+    size1 = 2 * s + (s - 1) // 2
+    side1 = (9 - 1) // 2 + 9 * ((s - 1) // 2)
+    size2 = size1 + 3 * s
+    return ((size1, 9), (size2, 3)), side1
+
+
+def solve_ttf(
+    model: gridlib.Model,
+    scx,
+    scz,
+    subgrid_size: int = 1,
+    cfg: SolveConfig = SolveConfig(),
+):
+    """Travel-time fields for a batch of sources (vmapped).
+
+    ``scx``/``scz`` are 1D coordinate arrays.  With ``subgrid_size == 1``
+    this is the parallel of ALI_FMM.update / travel(); with larger odd
+    values the whole model is NN-refined first like travel_finer_grid().
+    Returns (n_src, Zf, Xf).
+    """
+    if subgrid_size == 1:
+        base = model
+        stages, seed_side, seed_sign = (
+            _COARSE_STAGES,
+            _COARSE_SEED_SIDE,
+            _COARSE_SEED_SIGN,
+        )
+    else:
+        base = gridlib.refine_model(model, subgrid_size,
+                                    dtype=model.vel_map.dtype)
+        stages, seed_side = fine_stage_params(subgrid_size)
+        seed_sign = +1.0
+    fn = partial(
+        solve_one,
+        base,
+        stages=stages,
+        seed_side=seed_side,
+        seed_sign=seed_sign,
+        cfg=cfg,
+    )
+    return jax.vmap(fn)(jnp.asarray(scx), jnp.asarray(scz))

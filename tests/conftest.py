@@ -23,3 +23,8 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 assert jax.devices()[0].platform == "cpu", jax.devices()
+
+# Persistent compilation cache: the solver's sweep bodies are large and the
+# first compile is minutes on CPU; subsequent test runs hit the disk cache.
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)

@@ -1,0 +1,107 @@
+"""Golden tests: full telescoped solve vs the reference travel() executed
+as a pure-Python oracle on small models (table materials -- the stiffness
+path cannot run un-jitted, see ref_shim)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from alifmm_tpu import grid as gridlib
+from alifmm_tpu import materials as mats
+from alifmm_tpu import solver
+
+from ref_shim import load_reference
+
+ref = load_reference()
+
+
+def _run_reference_travel(veln, velpn, vel_map, g_tab, p_tab, dnx, scx, scz):
+    Z, X = veln.shape
+    nsts = np.zeros((Z, X), dtype=int)
+    btg = np.zeros((round(0.5 * Z * X), 2), dtype=int)
+    ttn = np.zeros((Z, X))
+    return ref.travel(
+        scx, scz, nsts, btg, 0, ttn, veln, velpn.astype(int), vel_map, None,
+        g_tab, p_tab, 0, 0, dnx, dnx, X, Z,
+    )
+
+
+def test_isotropic_golden():
+    Z, X = 41, 45
+    dnx = 1e-3
+    v0 = 3000.0
+    veln = np.zeros((Z, X))
+    velpn = np.ones((Z, X), dtype=int)
+    vel_map = v0 * np.ones((Z, X))
+    tab = np.ones((361, 2))
+    tab[:, 0] = np.arange(361)
+    sz, sx = 20, 22
+
+    want = _run_reference_travel(
+        veln, velpn, vel_map, tab, tab, dnx, sx * dnx, sz * dnx
+    )
+    model = gridlib.make_model(
+        veln, velpn, vel_map, None, tab, tab, dnx, dtype=jnp.float64
+    )
+    got = np.asarray(
+        solver.solve_ttf(model, np.array([sx * dnx]), np.array([sz * dnx]))
+    )[0]
+
+    mask = want > 0
+    rel = np.abs(got - want)[mask] / want[mask]
+    assert rel.max() < 6e-3, rel.max()
+    assert rel.mean() < 1.2e-3, rel.mean()
+    # analytic sanity: straight-ray distances in a constant medium
+    zz, xx = np.meshgrid(np.arange(Z), np.arange(X), indexing="ij")
+    exact = dnx * np.hypot(zz - sz, xx - sx) / v0
+    rel_an = np.abs(got - exact)[mask] / exact[mask]
+    assert rel_an.max() < 2.5e-2
+
+
+def test_anisotropic_table_golden():
+    Z, X = 37, 33
+    dnx = 5e-4
+    rng = np.random.default_rng(7)
+    # orthotropic material curve + spatially varying orientation
+    c22, c23, c33, c44, rho = 263e9, 145e9, 216e9, 129e9, 7800
+    g = np.zeros((361, 2))
+    p = np.zeros((361, 2))
+    g[:, 0] = np.arange(361)
+    p[:, 0] = np.arange(361)
+    g[:, 1] = mats.generate_group_vel_curve(c22, c23, c33, c44, rho)
+    p[:, 1] = mats.generate_phase_vel_curve(c22, c23, c33, c44, rho)
+    veln = np.round(rng.uniform(0, 180, (Z, X)))
+    velpn = np.ones((Z, X), dtype=int)
+    vel_map = np.ones((Z, X))
+    sz, sx = 18, 16
+
+    want = _run_reference_travel(veln, velpn, vel_map, g, p, dnx, sx * dnx, sz * dnx)
+    model = gridlib.make_model(
+        veln, velpn, vel_map, None, g, p, dnx, dtype=jnp.float64
+    )
+    got = np.asarray(
+        solver.solve_ttf(model, np.array([sx * dnx]), np.array([sz * dnx]))
+    )[0]
+
+    mask = want > 0
+    rel = np.abs(got - want)[mask] / want[mask]
+    assert rel.max() < 1.5e-2, rel.max()
+    assert rel.mean() < 3e-3, rel.mean()
+
+
+def test_multi_source_vmap_consistency():
+    """vmapped multi-source solve must equal per-source solves."""
+    Z, X = 31, 29
+    dnx = 1e-3
+    veln = np.zeros((Z, X))
+    velpn = np.ones((Z, X), dtype=int)
+    vel_map = 3000.0 * np.ones((Z, X))
+    model = gridlib.make_model(veln, velpn, vel_map, dnx=dnx, dtype=jnp.float64)
+    scx = np.array([5 * dnx, 20 * dnx])
+    scz = np.array([3 * dnx, 28 * dnx])
+    both = np.asarray(solver.solve_ttf(model, scx, scz))
+    one0 = np.asarray(solver.solve_ttf(model, scx[:1], scz[:1]))[0]
+    one1 = np.asarray(solver.solve_ttf(model, scx[1:], scz[1:]))[0]
+    np.testing.assert_allclose(both[0], one0, rtol=1e-12)
+    np.testing.assert_allclose(both[1], one1, rtol=1e-12)
