@@ -7,6 +7,8 @@ TPU-first (parallel line-sweep solver, vmapped sources, shard_map scale-out)
 instead of the reference's sequential heap-ordered fast marching.
 """
 
+from .api import ALI_FMM  # noqa: F401
 from .grid import Model, make_model, refine_model  # noqa: F401
+from .solver import SolveConfig, solve_ttf  # noqa: F401
 
 __version__ = "0.1.0"

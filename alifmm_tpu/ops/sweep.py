@@ -3,22 +3,28 @@
 The reference finalises one point per heap pop (strictly sequential,
 Anis_TTF_rays.py:2055-2102).  Here the same local update runs on whole grid
 lines at once, ordered as four directional Gauss-Seidel sweeps (down / up /
-left / right) per pass, iterated to a fixed point.  Information propagates
-across the full grid in O(1) passes for monotone characteristics; curved
-(anisotropic) rays converge in a few passes.
+left / right) per pass, iterated to a fixed point.
 
-Each sweep is a ``lax.scan`` whose carry holds the two most recently updated
-lines; the scanned step rebuilds the 5-line neighbourhood band and applies
-``stencils.local_update`` to one line (vectorised over the line and over any
-leading batch/source dims).  Up/left/right sweeps reuse the same step with
-``reverse=True`` and/or column bands -- the stencil geometry is never
-mirrored, so selection tie-breaks stay bit-identical to the reference in
-all four directions.
+Two key mechanisms make the parallel iteration reproduce the heap march:
+
+* **Upwind-restricted knowledge.**  When the heap freezes a point at time
+  t, only earlier-frozen neighbours (t_nbr < t) were usable; the
+  min-difference stencil selection depends on that partial-knowledge state.
+  Each sweep update therefore masks the usable set to ``t_nbr < t_center``.
+* **Two accumulation phases.**  Phase 1 min-accumulates (a stable
+  label-correcting envelope that lands slightly below the heap values,
+  because transient usable sets are larger than the heap's); phase 2
+  recomputes with replace semantics under the same restriction, converging
+  monotonically up to the heap-march field (validated ~2e-3 L-inf / 8e-4
+  mean on seeded problems; never overshoots).
+
+Compile-time design: direction (forward/backward along an axis) and
+accumulation (min/replace) are *traced* selects over shared data, not
+structural variants, so each grid shape compiles exactly one scan body per
+sweep axis; both phases run inside a single ``lax.while_loop``.
 """
 
 from __future__ import annotations
-
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -30,9 +36,7 @@ from .stencils import INF, OFFSETS
 __all__ = ["gs_pass", "solve_fixpoint", "jacobi_pass"]
 
 
-def _width_masks(W, axis):
-    """Static width-direction masks: in-bounds per offset component, and the
-    two width-end edge masks."""
+def _width_masks(W):
     iw = jnp.arange(W)
     ok = {d: (iw + d >= 0) & (iw + d <= W - 1) for d in (-2, -1, 0, 1, 2)}
     first = iw == 0
@@ -40,17 +44,14 @@ def _width_masks(W, axis):
     return ok, first, last
 
 
-def _band_step(band, W, axis, z_ok, edges, wok, center, model, dnx,
-               causal=True):
-    """Update the centre line of a 5-line band.
+def _band_step(band, W, axis, z_ok, edges, wok, center, model, dnx):
+    """Update the centre line of a 5-line band (always in causal mode:
+    upwind-restricted usable set + candidate >= inputs filter).
 
-    ``band``: (..., 5, W + 4) padded with INF in the width direction.
+    ``band``: (..., 5, W + 4) padded with INF in the width direction,
+    ordered [-2, -1, 0, +1, +2] in the band direction.
     ``axis`` = 'z': band index is dz, width index is dx (row sweeps);
     ``axis`` = 'x': band index is dx, width index is dz (column sweeps).
-    ``z_ok``: dict of per-step scalars: band-direction offset in bounds.
-    ``edges``: dict of the four boundary masks for the centre line.
-    ``wok``: static width-direction in-bounds masks.
-    ``center``: dict of centre-line material fields.
     """
     tt_center = band[..., 2, 2 : 2 + W]
     nbr, known, inb = {}, {}, {}
@@ -58,17 +59,10 @@ def _band_step(band, W, axis, z_ok, edges, wok, center, model, dnx,
         db, dw = (dz, dx) if axis == "z" else (dx, dz)
         v = band[..., 2 + db, 2 + dw : 2 + dw + W]
         nbr[(dz, dx)] = v
-        k = v < INF * 0.5
-        if causal:
-            # Emulate the heap's knowledge state: when the reference
-            # freezes a point at time t, only neighbours that froze earlier
-            # (t_nbr < t) were "alive" and usable (nsts tests throughout
-            # update()/fouds18_A()).  Restricting the usable set to the
-            # upwind points reproduces the reference's partial-knowledge
-            # stencil *selection*, which full-knowledge evaluation cannot
-            # (the min-difference rule would pick downwind stencils).
-            k = k & (v < tt_center)
-        known[(dz, dx)] = k
+        # Heap knowledge emulation: only neighbours that would already be
+        # frozen (strictly earlier arrival) are usable -- this reproduces
+        # the reference's partial-knowledge stencil selection.
+        known[(dz, dx)] = (v < INF * 0.5) & (v < tt_center)
         inb[(dz, dx)] = z_ok[db] & wok[dw]
     return stencils.local_update(
         nbr,
@@ -83,79 +77,77 @@ def _band_step(band, W, axis, z_ok, edges, wok, center, model, dnx,
         edges,
         model,
         dnx,
-        causal,
+        causal=True,
     )
 
 
-def _sweep(
-    tt,
-    model: gridlib.Model,
-    fixed,
-    axis: str,
-    reverse: bool,
-    causal: bool = True,
-    accumulate: str = "min",
-):
-    """One directional Gauss-Seidel line sweep over ``tt`` (..., Z, X)."""
+def _sweep_axis(tt, model: gridlib.Model, fixed, axis: str, rev, replace):
+    """One Gauss-Seidel line sweep along ``axis``.
+
+    ``rev`` (traced bool): sweep direction -- realised by flipping the line
+    order of the scanned data, never the in-line geometry, so stencil
+    identities and tie-breaks stay exact in all four directions.
+    ``replace`` (traced bool): phase-2 replace accumulation vs phase-1 min.
+    """
     Z, X = tt.shape[-2], tt.shape[-1]
     if axis == "z":
         L, W = Z, X
-        lines = jnp.moveaxis(tt, -2, 0)          # (L, ..., W)
+        lines = jnp.moveaxis(tt, -2, 0)
         fixed_l = jnp.moveaxis(fixed, -2, 0)
         mats = dict(
             veln=model.veln,
             velpn=model.velpn,
             vel_map=model.vel_map,
             stif=model.stif,
-            fbs=jnp.moveaxis(model.fallback_slowness, 1, 0),  # (Z, 4, X)
+            fbs=jnp.moveaxis(model.fallback_slowness, 1, 0),
         )
     else:
         L, W = X, Z
-        lines = jnp.moveaxis(tt, -1, 0)          # (L, ..., W)
+        lines = jnp.moveaxis(tt, -1, 0)
         fixed_l = jnp.moveaxis(fixed, -1, 0)
         mats = dict(
             veln=model.veln.T,
             velpn=model.velpn.T,
             vel_map=model.vel_map.T,
-            stif=jnp.moveaxis(model.stif, 1, 0),            # (X, Z, 5)
-            fbs=jnp.moveaxis(model.fallback_slowness, 2, 0),  # (X, 4, Z)
+            stif=jnp.moveaxis(model.stif, 1, 0),
+            fbs=jnp.moveaxis(model.fallback_slowness, 2, 0),
         )
 
-    wok, wfirst, wlast = _width_masks(W, axis)
+    wok, wfirst, wlast = _width_masks(W)
+
+    def maybe_flip(x):
+        return jnp.where(rev, jnp.flip(x, axis=0), x)
+
+    lines = maybe_flip(lines)
+    fixed_l = maybe_flip(fixed_l)
+    mats = {k: maybe_flip(v) for k, v in mats.items()}
+    idx = jnp.where(rev, jnp.arange(L)[::-1], jnp.arange(L))
+
     pad_w = [(0, 0)] * (lines.ndim - 1) + [(2, 2)]
     lines_p = jnp.pad(lines, pad_w, constant_values=INF)
-
-    li = jnp.arange(L)
     inf_line = jnp.full(lines_p.shape[1:], INF, dtype=tt.dtype)
 
     def shift(n):
-        """Old lines at offset n from the scan position (INF off the ends)."""
-        if n == 0:
-            return lines_p
-        if n > 0:
-            return jnp.concatenate(
-                [lines_p[n:]] + [inf_line[None]] * n, axis=0
-            )
-        return jnp.concatenate(
-            [inf_line[None]] * (-n) + [lines_p[:n]], axis=0
-        )
+        """Scanned lines n steps ahead in scan order (INF off the end)."""
+        return jnp.concatenate([lines_p[n:]] + [inf_line[None]] * n, axis=0)
 
-    # Forward sweeps take already-updated lines from the carry on the -1/-2
-    # side and old lines on the +1/+2 side; reverse sweeps the opposite.
-    if not reverse:
-        xs = dict(old0=lines_p, oldA=shift(1), oldB=shift(2))
-    else:
-        xs = dict(old0=lines_p, oldA=shift(-1), oldB=shift(-2))
-    xs.update(mats=mats, fixed=fixed_l, idx=li)
+    xs = dict(
+        old0=lines_p,
+        oldA=shift(1),
+        oldB=shift(2),
+        mats=mats,
+        fixed=fixed_l,
+        idx=idx,
+    )
 
     def step(carry, x):
-        # carry = (line two steps back in scan order, line one step back),
-        # both already updated and padded.
-        m2, m1 = carry
-        if not reverse:
-            band = jnp.stack([m2, m1, x["old0"], x["oldA"], x["oldB"]], axis=-2)
-        else:
-            band = jnp.stack([x["oldB"], x["oldA"], x["old0"], m1, m2], axis=-2)
+        m2, m1 = carry  # two previously updated lines in scan order, padded
+        # In scan order the carry lines are "behind" and oldA/oldB "ahead";
+        # geometrically behind = -1/-2 for a forward sweep, +1/+2 for a
+        # reverse one.  Both orderings come from the same traced values.
+        band_fwd = jnp.stack([m2, m1, x["old0"], x["oldA"], x["oldB"]], -2)
+        band_rev = jnp.stack([x["oldB"], x["oldA"], x["old0"], m1, m2], -2)
+        band = jnp.where(rev, band_rev, band_fwd)
         i = x["idx"]
         z_ok = {d: (i + d >= 0) & (i + d <= L - 1) for d in (-2, -1, 0, 1, 2)}
         if axis == "z":
@@ -167,44 +159,42 @@ def _sweep(
                 left=(i == 0), right=(i == L - 1), top=wfirst, bottom=wlast
             )
         new = _band_step(
-            band, W, axis, z_ok, edges, wok, x["mats"], model, model.dnx,
-            causal,
+            band, W, axis, z_ok, edges, wok, x["mats"], model, model.dnx
         )
         old_center = x["old0"][..., 2 : 2 + W]
-        if accumulate == "min":
-            # Label-correcting accumulation: the raw local update has
-            # replace semantics (it may raise a value), which is only stable
-            # under the reference's causal heap ordering.  Under parallel
-            # sweeps we keep the monotone-from-above envelope instead; the
-            # fixed point is the same first-arrival (viscosity) solution.
-            new = jnp.minimum(old_center, new)
-        else:  # replace (polish passes): keep old value where no candidate
-            new = jnp.where(new < INF * 0.5, new, old_center)
+        acc_min = jnp.minimum(old_center, new)
+        acc_rep = jnp.where(new < INF * 0.5, new, old_center)
+        new = jnp.where(replace, acc_rep, acc_min)
         new = jnp.where(x["fixed"], old_center, new)
         new_p = jnp.pad(
             new, [(0, 0)] * (new.ndim - 1) + [(2, 2)], constant_values=INF
         )
         return (m1, new_p), new
 
-    (_, _), out = jax.lax.scan(step, (inf_line, inf_line), xs, reverse=reverse)
+    (_, _), out = jax.lax.scan(step, (inf_line, inf_line), xs)
+    out = jnp.where(rev, jnp.flip(out, axis=0), out)
     if axis == "z":
         return jnp.moveaxis(out, 0, -2)
     return jnp.moveaxis(out, 0, -1)
 
 
-def gs_pass(tt, model: gridlib.Model, fixed, causal=True, accumulate="min"):
+def gs_pass(tt, model: gridlib.Model, fixed, replace=False):
     """One full Gauss-Seidel pass: down, up, right, left line sweeps."""
-    tt = _sweep(tt, model, fixed, "z", False, causal, accumulate)
-    tt = _sweep(tt, model, fixed, "z", True, causal, accumulate)
-    tt = _sweep(tt, model, fixed, "x", False, causal, accumulate)
-    tt = _sweep(tt, model, fixed, "x", True, causal, accumulate)
+    replace = jnp.asarray(replace)
+    f = jnp.asarray(False)
+    t = jnp.asarray(True)
+    tt = _sweep_axis(tt, model, fixed, "z", f, replace)
+    tt = _sweep_axis(tt, model, fixed, "z", t, replace)
+    tt = _sweep_axis(tt, model, fixed, "x", f, replace)
+    tt = _sweep_axis(tt, model, fixed, "x", t, replace)
     return tt
 
 
 def jacobi_pass(tt, model: gridlib.Model, fixed):
-    """One whole-grid Jacobi pass (no line ordering), with the same
-    monotone min-accumulation as the line sweeps."""
-    return jnp.minimum(tt, stencils.full_grid_update(tt, model, fixed))
+    """One whole-grid Jacobi pass with min accumulation (used by the
+    halo-exchange sharded solver, where line scans don't cross shards)."""
+    return jnp.minimum(tt, stencils.full_grid_update(tt, model, fixed,
+                                                     causal=True))
 
 
 def solve_fixpoint(
@@ -216,44 +206,32 @@ def solve_fixpoint(
     min_passes: int = 2,
     polish_passes: int = 5,
 ):
-    """Two-phase solve to the first-arrival field.
+    """Two-phase fixpoint solve (see module docstring).
 
-    Phase 1 iterates causal (upwind-restricted, min-accumulating)
-    Gauss-Seidel passes until the max update falls below rel_tol * max time
-    -- a stable label-correcting scheme that lands slightly *below* the
-    reference FMM values (its transient usable sets are larger than the
-    heap's).  Phase 2 runs ``polish_passes`` replace-semantics sweeps, still
-    with the upwind knowledge restriction: each point recomputes from
-    strictly-earlier neighbours only, which reproduces the reference's
-    freeze-time stencil selection and converges monotonically up to the
-    heap-march field (validated to ~2e-3 L-inf / 8e-4 mean on seeded
-    problems; never overshoots).
-
-    Runs under jit; the convergence test is a scalar reduce inside a
-    lax.while_loop so no host sync happens per pass.
+    Runs under jit; both phases share one lax.while_loop (and thus one
+    compiled sweep body per axis).  Returns (field, phase-1 pass count).
     """
+    max_passes = jnp.asarray(max_passes)
 
     def cond(state):
-        tt, prev, k = state
-        known = tt < INF * 0.5
-        delta = jnp.max(jnp.where(known | (prev < INF * 0.5),
-                                  jnp.abs(tt - prev), 0.0))
-        scale = jnp.max(jnp.where(known, tt, 0.0))
-        not_conv = delta > rel_tol * jnp.maximum(scale, 1e-30)
-        return (k < max_passes) & (not_conv | (k < min_passes))
+        tt, prev, k, phase = state
+        return ~((phase >= 1) & (k >= polish_passes))
 
     def body(state):
-        tt, _, k = state
-        new = gs_pass(tt, model, fixed)
-        return (new, tt, k + 1)
+        tt, prev, k, phase = state
+        new = gs_pass(tt, model, fixed, replace=(phase == 1))
+        known = new < INF * 0.5
+        delta = jnp.max(
+            jnp.where(known | (tt < INF * 0.5), jnp.abs(new - tt), 0.0)
+        )
+        scale = jnp.max(jnp.where(known, new, 0.0))
+        converged = delta <= rel_tol * jnp.maximum(scale, 1e-30)
+        k1 = k + 1
+        done1 = (phase == 0) & ((k1 >= max_passes) | (converged & (k1 >= min_passes)))
+        new_phase = jnp.where(done1, 1, phase)
+        new_k = jnp.where(done1, 0, k1)
+        return (new, tt, new_k, new_phase)
 
-    # prev primed so cond() sees a large delta; avoids tracing an extra
-    # gs_pass instance outside the loop (compile-time win).
-    init = (tt0, tt0 + 1.0, jnp.asarray(0))
-    tt, _, n = jax.lax.while_loop(cond, body, init)
-
-    def polish_body(_, t):
-        return gs_pass(t, model, fixed, causal=True, accumulate="replace")
-
-    tt = jax.lax.fori_loop(0, polish_passes, polish_body, tt)
-    return tt, n
+    init = (tt0, tt0 + 1.0, jnp.asarray(0), jnp.asarray(0))
+    tt, _, _, _ = jax.lax.while_loop(cond, body, init)
+    return tt, jnp.asarray(0)

@@ -201,6 +201,7 @@ def _sample_ttf(ttf, x, y, subgrid_size, mode):
 def trace_rays(
     model: gridlib.Model,
     rec_ttf,
+    ttf_index,
     source_xy,
     receiver_xy,
     subgrid_size: int,
@@ -212,8 +213,11 @@ def trace_rays(
     receiver's travel-time field (find_ray, Anis_TTF_rays.py:3104-3465).
 
     ``source_xy``/``receiver_xy``: (R, 2) fine-grid (x, y) coordinates.
-    ``rec_ttf``: (R, Zf, Xf) per-ray receiver fields ("grid" mode) or
-    (R, Z, X) model-grid fields ("interp" mode).
+    ``rec_ttf``: a (T, ...) stack of receiver fields -- on the subgrid-
+    refined grid ("grid" mode) or the model grid ("interp" mode);
+    ``ttf_index``: (R,) int index of each ray's receiver field in the stack
+    (so each field is stored once however many rays share it, like the
+    reference's fused per-receiver worker, Anis_TTF_rays.py:3719-3733).
     Returns (ray_x, ray_y, lengths, times): padded (R, P) polylines in fine
     coordinates including source and receiver, like the reference buffers
     (5 * (nnz + nnx), Anis_TTF_rays.py:3140).
@@ -222,6 +226,7 @@ def trace_rays(
     s = int(subgrid_size)
     dt = model.vel_map.dtype
     R = source_xy.shape[0]
+    ttf_index = jnp.asarray(ttf_index, jnp.int32)
     if mode == "grid":
         rows, cols = rec_ttf.shape[-2], rec_ttf.shape[-1]
     else:
@@ -243,8 +248,8 @@ def trace_rays(
     rec_x = receiver_xy[:, 0].astype(dt)
     rec_y = receiver_xy[:, 1].astype(dt)
 
-    def _sample_one(i, x, y):
-        tt = rec_ttf[i] if rec_ttf.ndim == 3 else rec_ttf
+    def _sample_one(t_idx, x, y):
+        tt = rec_ttf[t_idx] if rec_ttf.ndim == 3 else rec_ttf
         return _sample_ttf(tt, x, y, s, mode)
 
     sample_b = jax.vmap(_sample_one)
@@ -337,7 +342,7 @@ def trace_rays(
         py = pick(w, c1[:, None] - w, c2[:, None] + 0 * w, w + c3[:, None])
 
         ridx = jnp.arange(R)
-        tt_plane = sample_b(ridx, px, py)
+        tt_plane = sample_b(ttf_index, px, py)
         seg = segment_time(
             model, mat_flat,
             last_x[:, None], last_y[:, None], px, py, s, max_cross,
@@ -377,8 +382,8 @@ def trace_rays(
         # terminations: plane left the grid (:3172, :3294) -> finish early
         plane_oob = ((dir_index == 0) & oob0) | ((dir_index == 2) & oob2)
         # increasing travel time to receiver -> truncate (:3406-3423)
-        tt_last_pt = sample_b(ridx, rl_x, rl_y)
-        tt_new_pt = sample_b(ridx, jnp.round(new_x), jnp.round(new_y))
+        tt_last_pt = sample_b(ttf_index, rl_x, rl_y)
+        tt_new_pt = sample_b(ttf_index, jnp.round(new_x), jnp.round(new_y))
         increasing = tt_last_pt < tt_new_pt
 
         stop = done | plane_oob | increasing
