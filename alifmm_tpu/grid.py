@@ -146,6 +146,7 @@ def phase_velocity_at(model: Model, eff_angle_deg, velpn=None, vel_map=None, sti
     return jnp.where(velpn != 0, v_tab, v_chr)
 
 
+@partial(jax.jit, static_argnames=("has_stif",))
 def _fallback_slowness_planes(veln, velpn, vel_map, stif, group_tab, has_stif):
     """Per-point group slowness at the four fixed fouds18_A wave angles.
 

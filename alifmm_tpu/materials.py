@@ -222,9 +222,9 @@ def build_tables(materials, velocity_dat=None, phase_vel=None, keep_materials=Fa
         return g, p, list(range(1, 1 + n_fill))
 
 
-def interp_table(table, eff_angle_deg, mat_idx, vel_map):
-    """Linear interpolation of a (361, M) velocity table at ``eff_angle_deg``
-    (in [0, 180)) for per-point material column ``mat_idx``.
+def interp_table_gather(table, eff_angle_deg, mat_idx, vel_map):
+    """Gather-based linear interpolation of a (361, M) velocity table at
+    ``eff_angle_deg`` (in [0, 180)) for per-point material ``mat_idx``.
 
     Replicates the reference lookup (Anis_TTF_rays.py:288-291):
     ``a1 = floor(eff); a2 = (a1 + 1) % 180; v = vel_map * ((1-w) T[a1, m] +
@@ -240,3 +240,32 @@ def interp_table(table, eff_angle_deg, mat_idx, vel_map):
     v1 = jnp.take(flat, a1 * M + m)
     v2 = jnp.take(flat, a2 * M + m)
     return vel_map * ((1.0 - w) * v1 + w * v2)
+
+
+def interp_table(table, eff_angle_deg, mat_idx, vel_map):
+    """Gather-free linear interpolation of a (361, M) velocity table.
+
+    Mathematically identical to interp_table_gather (the reference lookup,
+    Anis_TTF_rays.py:288-291) but written as a hat-function expansion
+    ``v = sum_k T[k] * max(0, 1 - |eff - k|)`` (with the a2 = 180 -> 0 wrap
+    folded into an extra T[0] term), which compiles to fused predicated
+    vector math -- dynamic gathers are an order of magnitude slower on TPU
+    and dominate the solver's hot loop otherwise.  The material column is
+    resolved by a static unrolled select (tables are small).
+    """
+    eff = jnp.mod(jnp.asarray(eff_angle_deg), 180.0)
+    M = table.shape[1]
+    mat_idx = mat_idx.astype(jnp.int32)
+    dt = eff.dtype
+    acc = [jnp.zeros(jnp.broadcast_shapes(eff.shape, mat_idx.shape), dt)
+           for _ in range(M)]
+    # hat-function expansion over the 180 1-degree knots + wrap term
+    for k in range(181):
+        h = jnp.maximum(0.0, 1.0 - jnp.abs(eff - float(k)))
+        for m in range(M):
+            t_k = table[k % 180, m]
+            acc[m] = acc[m] + t_k * h
+    out = acc[0]
+    for m in range(1, M):
+        out = jnp.where(mat_idx == m, acc[m], out)
+    return vel_map * out

@@ -145,13 +145,18 @@ def _ali_candidate(nbr, known, edges):
     sq_min_diff = jnp.min(sq_diff, axis=0)
     sq_any = sq_min_diff < _BIG_DIFF
 
-    def _sel(stack):
-        return jnp.take_along_axis(stack, best[None], axis=0)[0]
+    def _sel(vals):
+        # one-hot select instead of take_along_axis: gathers are slow on
+        # TPU; eight predicated selects fuse into the surrounding kernel.
+        out = vals[0]
+        for s in range(1, len(vals)):
+            out = jnp.where(best == s, vals[s], out)
+        return out
 
-    sq_angle = _sel(jnp.stack(angles))
-    sq_dist = _sel(jnp.stack(dists))
-    sq_wtime = _sel(jnp.stack(wtimes))
-    sq_max = _sel(jnp.stack(maxs))
+    sq_angle = _sel(angles)
+    sq_dist = _sel(dists)
+    sq_wtime = _sel(wtimes)
+    sq_max = _sel(maxs)
 
     # ---- triangular stencils ----------------------------------------------
     c1 = SQRT2 - 1.0
@@ -191,13 +196,16 @@ def _ali_candidate(nbr, known, edges):
     tri_min_diff = jnp.min(tri_diff, axis=0)
     tri_any = tri_min_diff < _BIG_DIFF
 
-    def _tsel(stack):
-        return jnp.take_along_axis(stack, tri_best[None], axis=0)[0]
+    def _tsel(vals):
+        out = vals[0]
+        for s in range(1, len(vals)):
+            out = jnp.where(tri_best == s, vals[s], out)
+        return out
 
-    tri_angle = _tsel(jnp.stack(t_angles))
-    tri_dist = _tsel(jnp.stack(t_dists))
-    tri_wtime = _tsel(jnp.stack(t_wtimes))
-    tri_max = _tsel(jnp.stack(t_maxs))
+    tri_angle = _tsel(t_angles)
+    tri_dist = _tsel(t_dists)
+    tri_wtime = _tsel(t_wtimes)
+    tri_max = _tsel(t_maxs)
 
     # ---- combine (Anis_TTF_rays.py:1146, :1202-1262) -----------------------
     on_boundary = edges["left"] | edges["right"] | edges["top"] | edges["bottom"]

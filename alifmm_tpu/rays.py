@@ -198,6 +198,10 @@ def _sample_ttf(ttf, x, y, subgrid_size, mode):
     )
 
 
+@partial(
+    jax.jit,
+    static_argnames=("subgrid_size", "mode", "max_steps", "max_cross"),
+)
 def trace_rays(
     model: gridlib.Model,
     rec_ttf,

@@ -40,9 +40,19 @@ __all__ = ["SolveConfig", "solve_ttf", "solve_one"]
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class SolveConfig:
-    rel_tol: float = dataclasses.field(default=1e-7, metadata=dict(static=True))
-    patch_max_passes: int = dataclasses.field(default=12, metadata=dict(static=True))
-    final_max_passes: int = dataclasses.field(default=25, metadata=dict(static=True))
+    """Solver iteration budget.
+
+    rel_tol gates only phase 1 (the min-accumulation envelope); the
+    replace-polish phase sets the final values, so phase 1 only needs to get
+    near the solution.  In float32 the pass-to-pass delta floors around
+    5e-4 relative (tie-flipping at candidate boundaries), so tolerances
+    below that simply burn max_passes.
+    """
+
+    rel_tol: float = dataclasses.field(default=1e-3, metadata=dict(static=True))
+    patch_max_passes: int = dataclasses.field(default=10, metadata=dict(static=True))
+    final_max_passes: int = dataclasses.field(default=16, metadata=dict(static=True))
+    polish_passes: int = dataclasses.field(default=5, metadata=dict(static=True))
 
 
 def _window_origin(center, half, n):
@@ -204,13 +214,15 @@ def solve_one(
         tt, _ = sweep.solve_fixpoint(
             tt, patch, fixed, rel_tol=cfg.rel_tol,
             max_passes=cfg.patch_max_passes,
+            polish_passes=cfg.polish_passes,
         )
         prev_tt, prev_origin = tt, (bz, bx)
 
     # final full-grid stage (factor 1)
     tt, fixed = _inject(prev_tt, prev_origin, 3, (Z, X), (0, 0), 1, dtype)
     tt, n = sweep.solve_fixpoint(
-        tt, model, fixed, rel_tol=cfg.rel_tol, max_passes=cfg.final_max_passes
+        tt, model, fixed, rel_tol=cfg.rel_tol,
+        max_passes=cfg.final_max_passes, polish_passes=cfg.polish_passes,
     )
     return tt
 
@@ -259,12 +271,94 @@ def solve_ttf(
                                     dtype=model.vel_map.dtype)
         stages, seed_side = fine_stage_params(subgrid_size)
         seed_sign = +1.0
-    fn = partial(
-        solve_one,
-        base,
-        stages=stages,
-        seed_side=seed_side,
-        seed_sign=seed_sign,
-        cfg=cfg,
+    return _staged_solve(base, jnp.asarray(scx), jnp.asarray(scz), stages,
+                         seed_side, seed_sign, cfg)
+
+
+# --------------------------------------------------------------------- #
+# Stage-jitted pipeline: one jitted program per telescoping stage instead
+# of one giant program for the whole solve.  Un-jitted vmap dispatches
+# primitive-by-primitive (catastrophic over the device tunnel); a single
+# whole-pipeline jit makes XLA optimisation time explode superlinearly.
+# Four medium programs compile in minutes and cache persistently.
+# --------------------------------------------------------------------- #
+
+
+@partial(
+    jax.jit,
+    static_argnames=("half", "factor", "seed_side", "seed_sign", "cfg"),
+)
+def _stage_first(model, scx, scz, half, factor, seed_side, seed_sign, cfg):
+    Z, X = model.shape
+
+    def one(cx, cz):
+        isx = jnp.round(cx / model.dnx).astype(jnp.int32)
+        isz = jnp.round(cz / model.dnx).astype(jnp.int32)
+        hz = min(half, (Z - 1) // 2)
+        hx = min(half, (X - 1) // 2)
+        bz = _window_origin(isz, hz, Z)
+        bx = _window_origin(isx, hx, X)
+        patch = _slice_model(model, bz, bx, hz, hx, factor,
+                             model.vel_map.dtype)
+        tt, fixed = _analytic_seed(
+            patch, model, isz, isx, (isz - bz) * factor, (isx - bx) * factor,
+            seed_side, seed_sign, model.vel_map.dtype,
+        )
+        tt, _ = sweep.solve_fixpoint(
+            tt, patch, fixed, rel_tol=cfg.rel_tol,
+            max_passes=cfg.patch_max_passes,
+            polish_passes=cfg.polish_passes,
+        )
+        return tt, bz, bx
+
+    return jax.vmap(one)(scx, scz)
+
+
+@partial(jax.jit, static_argnames=("half", "factor", "cfg"))
+def _stage_next(model, scx, scz, prev_tt, prev_bz, prev_bx, half, factor, cfg):
+    Z, X = model.shape
+
+    def one(cx, cz, ptt, pbz, pbx):
+        isx = jnp.round(cx / model.dnx).astype(jnp.int32)
+        isz = jnp.round(cz / model.dnx).astype(jnp.int32)
+        hz = min(half, (Z - 1) // 2)
+        hx = min(half, (X - 1) // 2)
+        bz = _window_origin(isz, hz, Z)
+        bx = _window_origin(isx, hx, X)
+        patch = _slice_model(model, bz, bx, hz, hx, factor,
+                             model.vel_map.dtype)
+        tt, fixed = _inject(ptt, (pbz, pbx), 3, patch.shape, (bz, bx),
+                            factor, model.vel_map.dtype)
+        tt, _ = sweep.solve_fixpoint(
+            tt, patch, fixed, rel_tol=cfg.rel_tol,
+            max_passes=cfg.patch_max_passes,
+            polish_passes=cfg.polish_passes,
+        )
+        return tt, bz, bx
+
+    return jax.vmap(one)(scx, scz, prev_tt, prev_bz, prev_bx)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _stage_final(model, prev_tt, prev_bz, prev_bx, cfg):
+    Z, X = model.shape
+
+    def inject_one(ptt, pbz, pbx):
+        return _inject(ptt, (pbz, pbx), 3, (Z, X), (0, 0), 1,
+                       model.vel_map.dtype)
+
+    tt, fixed = jax.vmap(inject_one)(prev_tt, prev_bz, prev_bx)
+    tt, _ = sweep.solve_fixpoint(
+        tt, model, fixed, rel_tol=cfg.rel_tol,
+        max_passes=cfg.final_max_passes, polish_passes=cfg.polish_passes,
     )
-    return jax.vmap(fn)(jnp.asarray(scx), jnp.asarray(scz))
+    return tt
+
+
+def _staged_solve(base, scx, scz, stages, seed_side, seed_sign, cfg):
+    (h0, f0) = stages[0]
+    tt, bz, bx = _stage_first(base, scx, scz, h0, f0, seed_side,
+                              float(seed_sign), cfg)
+    for (h, f) in stages[1:]:
+        tt, bz, bx = _stage_next(base, scx, scz, tt, bz, bx, h, f, cfg)
+    return _stage_final(base, tt, bz, bx, cfg)
