@@ -36,11 +36,15 @@ from .stencils import INF, OFFSETS
 __all__ = ["gs_pass", "solve_fixpoint", "jacobi_pass"]
 
 
-def _width_masks(W):
-    iw = jnp.arange(W)
-    ok = {d: (iw + d >= 0) & (iw + d <= W - 1) for d in (-2, -1, 0, 1, 2)}
+def _width_masks(W, off=0, total=None):
+    """In-bounds and edge masks along the width direction in *global*
+    coordinates (off/total let sharded slabs keep the true grid's boundary
+    semantics)."""
+    total = W if total is None else total
+    iw = jnp.arange(W) + off
+    ok = {d: (iw + d >= 0) & (iw + d <= total - 1) for d in (-2, -1, 0, 1, 2)}
     first = iw == 0
-    last = iw == W - 1
+    last = iw == total - 1
     return ok, first, last
 
 
@@ -81,13 +85,17 @@ def _band_step(band, W, axis, z_ok, edges, wok, center, model, dnx):
     )
 
 
-def _sweep_axis(tt, model: gridlib.Model, fixed, axis: str, rev, replace):
+def _sweep_axis(tt, model: gridlib.Model, fixed, axis: str, rev, replace,
+                scan_off=0, scan_total=None, width_off=0, width_total=None):
     """One Gauss-Seidel line sweep along ``axis``.
 
     ``rev`` (traced bool): sweep direction -- realised by flipping the line
     order of the scanned data, never the in-line geometry, so stencil
     identities and tie-breaks stay exact in all four directions.
     ``replace`` (traced bool): phase-2 replace accumulation vs phase-1 min.
+    ``scan_off``/``scan_total`` and ``width_off``/``width_total`` place the
+    block in global grid coordinates so domain-decomposed slabs (halo
+    sharding) keep exact boundary/in-bounds semantics.
     """
     Z, X = tt.shape[-2], tt.shape[-1]
     if axis == "z":
@@ -113,7 +121,8 @@ def _sweep_axis(tt, model: gridlib.Model, fixed, axis: str, rev, replace):
             fbs=jnp.moveaxis(model.fallback_slowness, 2, 0),
         )
 
-    wok, wfirst, wlast = _width_masks(W)
+    L_tot = L if scan_total is None else scan_total
+    wok, wfirst, wlast = _width_masks(W, width_off, width_total)
 
     def maybe_flip(x):
         return jnp.where(rev, jnp.flip(x, axis=0), x)
@@ -121,7 +130,7 @@ def _sweep_axis(tt, model: gridlib.Model, fixed, axis: str, rev, replace):
     lines = maybe_flip(lines)
     fixed_l = maybe_flip(fixed_l)
     mats = {k: maybe_flip(v) for k, v in mats.items()}
-    idx = jnp.where(rev, jnp.arange(L)[::-1], jnp.arange(L))
+    idx = jnp.where(rev, jnp.arange(L)[::-1], jnp.arange(L)) + scan_off
 
     pad_w = [(0, 0)] * (lines.ndim - 1) + [(2, 2)]
     lines_p = jnp.pad(lines, pad_w, constant_values=INF)
@@ -149,14 +158,18 @@ def _sweep_axis(tt, model: gridlib.Model, fixed, axis: str, rev, replace):
         band_rev = jnp.stack([x["oldB"], x["oldA"], x["old0"], m1, m2], -2)
         band = jnp.where(rev, band_rev, band_fwd)
         i = x["idx"]
-        z_ok = {d: (i + d >= 0) & (i + d <= L - 1) for d in (-2, -1, 0, 1, 2)}
+        z_ok = {
+            d: (i + d >= 0) & (i + d <= L_tot - 1) for d in (-2, -1, 0, 1, 2)
+        }
         if axis == "z":
             edges = dict(
-                top=(i == 0), bottom=(i == L - 1), left=wfirst, right=wlast
+                top=(i == 0), bottom=(i == L_tot - 1), left=wfirst,
+                right=wlast,
             )
         else:
             edges = dict(
-                left=(i == 0), right=(i == L - 1), top=wfirst, bottom=wlast
+                left=(i == 0), right=(i == L_tot - 1), top=wfirst,
+                bottom=wlast,
             )
         new = _band_step(
             band, W, axis, z_ok, edges, wok, x["mats"], model, model.dnx

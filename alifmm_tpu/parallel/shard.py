@@ -132,7 +132,8 @@ def trace_rays_sharded(
     return rx[:n], ry[:n], lens[:n], times[:n]
 
 
-def _halo_jacobi_block(tt, model_blk: gridlib.Model, fixed, n_inner, axis):
+def _halo_jacobi_block(tt, model_blk: gridlib.Model, fixed, n_inner, axis,
+                       z_total, replace=False):
     """n_inner line-sweep passes on a slab, then a 2-row halo exchange."""
 
     def exchange(t):
@@ -156,9 +157,29 @@ def _halo_jacobi_block(tt, model_blk: gridlib.Model, fixed, n_inner, axis):
         return t
 
     tt = exchange(tt)
+    rep = jnp.asarray(replace)
+    f_ = jnp.asarray(False)
+    t_ = jnp.asarray(True)
+    # Global grid coordinates of this (2-row-padded) slab, so boundary and
+    # in-bounds stencil semantics match the unsharded grid exactly.
+    goff = jax.lax.axis_index(axis) * (z_total // jax.lax.axis_size(axis)) - 2
+    zkw = dict(scan_off=goff, scan_total=z_total)
+    xkw = dict(width_off=goff, width_total=z_total)
     for _ in range(n_inner):
-        tt = sweep.gs_pass(tt, model_blk, fixed)
-        tt = exchange(tt)
+        # exchange after every directional sweep so information crosses one
+        # slab per sweep rather than one per pass
+        tt = exchange(
+            sweep._sweep_axis(tt, model_blk, fixed, "z", f_, rep, **zkw)
+        )
+        tt = exchange(
+            sweep._sweep_axis(tt, model_blk, fixed, "z", t_, rep, **zkw)
+        )
+        tt = exchange(
+            sweep._sweep_axis(tt, model_blk, fixed, "x", f_, rep, **xkw)
+        )
+        tt = exchange(
+            sweep._sweep_axis(tt, model_blk, fixed, "x", t_, rep, **xkw)
+        )
     return tt
 
 
@@ -214,11 +235,14 @@ def solve_halo_sharded(
         f = jnp.pad(fixed, ((2, 2), (0, 0)), constant_values=True)
         # halo rows are marked fixed so local sweeps treat them as boundary
         # data; their values refresh from the neighbour slab each exchange.
-        # fori keeps one compiled sweep body regardless of round counts.
+        # fori keeps one compiled sweep body regardless of round counts;
+        # rounds >= n_outer switch to the replace-polish phase.
         t = jax.lax.fori_loop(
             0,
             n_outer + polish,
-            lambda k, t: _halo_jacobi_block(t, blk, f, n_inner, axis),
+            lambda k, t: _halo_jacobi_block(
+                t, blk, f, n_inner, axis, Z, replace=(k >= n_outer)
+            ),
             t,
         )
         return t[2:-2]

@@ -102,7 +102,7 @@ def segment_time(model: gridlib.Model, mat_flat, x1, y1, x2, y2,
     dir_y = jnp.where(y1 < y2, 1.0, -1.0)
 
     def body(state, _):
-        prev_x, prev_y, next_x, next_y, fin_x, fin_y, acc = state
+        prev_x, prev_y, next_x, next_y, fin_x, fin_y = state
         done = fin_x & fin_y
 
         past_x = ((next_x > x2) & (dir_x == 1)) | ((next_x < x2) & (dir_x == -1))
@@ -128,11 +128,8 @@ def segment_time(model: gridlib.Model, mat_flat, x1, y1, x2, y2,
 
         x_pos = jnp.clip(jnp.round((prev_x + nxv) / 2).astype(jnp.int32), 0, X - 1)
         y_pos = jnp.clip(jnp.round((prev_y + nyv) / 2).astype(jnp.int32), 0, Z - 1)
-        row = jnp.take(mat_flat, y_pos * X + x_pos, axis=0)
-        eff = jnp.mod(row[..., 0] - angle, 180.0)
         dist = model.dnx * jnp.sqrt((prev_x - nxv) ** 2 + (prev_y - nyv) ** 2)
-        vel = _group_velocity_cell(model, row, eff)
-        acc = acc + jnp.where(done, 0.0, dist / vel)
+        dist = jnp.where(done, 0.0, dist)
 
         prev_x = jnp.where(done, prev_x, nxv)
         prev_y = jnp.where(done, prev_y, nyv)
@@ -140,8 +137,7 @@ def segment_time(model: gridlib.Model, mat_flat, x1, y1, x2, y2,
             prev_x, prev_y, next_x, next_y,
             jnp.where(done, fin_x, new_fin_x),
             jnp.where(done, fin_y, new_fin_y),
-            acc,
-        ), None
+        ), (dist, y_pos * X + x_pos)
 
     next_x0 = jnp.round(x1) + dir_x * 0.5
     next_y0 = jnp.round(y1) + dir_y * 0.5
@@ -149,10 +145,17 @@ def segment_time(model: gridlib.Model, mat_flat, x1, y1, x2, y2,
         jnp.shape(x1), jnp.shape(x2), jnp.shape(y1), jnp.shape(y2)), dt)
     state = (
         x1 + zeros, y1 + zeros, next_x0 + zeros, next_y0 + zeros,
-        jnp.zeros_like(zeros, bool), jnp.zeros_like(zeros, bool), zeros,
+        jnp.zeros_like(zeros, bool), jnp.zeros_like(zeros, bool),
     )
-    state, _ = jax.lax.scan(body, state, None, length=max_cross)
-    return state[-1]
+    # Phase 1 (scan): geometry only -- gather-free, latency-light.
+    # Phase 2 (batched): one gather + one velocity evaluation over all
+    # (max_cross, ...) crossings at once, which keeps the VPU full instead
+    # of issuing max_cross tiny dependent evaluations.
+    _, (dists, cells) = jax.lax.scan(body, state, None, length=max_cross)
+    row = jnp.take(mat_flat, cells, axis=0)
+    eff = jnp.mod(row[..., 0] - angle[None], 180.0)
+    vel = _group_velocity_cell(model, row, eff)
+    return jnp.sum(dists / vel, axis=0)
 
 
 def ray_times(model, mat_flat, ray_x, ray_y, lengths, subgrid_size,

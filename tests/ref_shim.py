@@ -51,6 +51,19 @@ def _install_numba_stub():
 _reference_module = None
 
 
+def _finer_grid_n_2_arraysafe(data, scale):
+    """Drop-in for the reference finer_grid_n_2 whose ``data == None`` test
+    only works under numba; identical NN-upsample semantics for arrays."""
+    if data is None:
+        return None
+    dim = data.shape
+    k0 = np.clip((np.arange(scale * (dim[0] - 1) + 1) + scale // 2) // scale,
+                 0, dim[0] - 1)
+    k1 = np.clip((np.arange(scale * (dim[1] - 1) + 1) + scale // 2) // scale,
+                 0, dim[1] - 1)
+    return data[k0][:, k1].astype(np.int64)
+
+
 def load_reference():
     """Import and cache the reference Anis_TTF_rays module."""
     global _reference_module
@@ -65,5 +78,8 @@ def load_reference():
     import Anis_TTF_rays as ref
 
     ref.tqdm_disable = True
+    # see _finer_grid_n_2_arraysafe: required for any un-jitted code path
+    # that reaches finer_grid_n_2 with an actual array
+    ref.finer_grid_n_2 = _finer_grid_n_2_arraysafe
     _reference_module = ref
     return ref
