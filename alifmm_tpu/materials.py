@@ -30,9 +30,12 @@ __all__ = [
     "phase_velocity_christoffel",
     "generate_group_vel_curve",
     "generate_phase_vel_curve",
+    "generate_mode_curves",
+    "slowness_derivative",
     "default_tables",
     "build_tables",
     "interp_table",
+    "interp_table_gather",
 ]
 
 
@@ -269,3 +272,80 @@ def interp_table(table, eff_angle_deg, mat_idx, vel_map):
     for m in range(1, M):
         out = jnp.where(mat_idx == m, acc[m], out)
     return vel_map * out
+
+
+def slowness_derivative(angle_deg, c22, c23, c33, c44, rho, vel_scale=1.0,
+                        eps=0.01):
+    """d(slowness)/d(angle) of the qP group-velocity curve by the same
+    one-sided finite difference as the reference's slown_d_slown_stif
+    (Anis_TTF_rays.py:3468-3518): zero on the symmetry axes, stepping
+    toward the nearer axis elsewhere.  Stiffness in MPa."""
+    a = jnp.mod(jnp.asarray(angle_deg), 180.0)
+    m90 = jnp.mod(a, 90.0)
+    on_axis = (m90 < 0.01) | (m90 > 90.0 - 0.01)
+    step = jnp.where(m90 < 45.0, eps, -eps)
+    s1 = 1.0 / group_velocity_christoffel(a, c22, c23, c33, c44, rho, vel_scale)
+    s2 = 1.0 / group_velocity_christoffel(
+        a + step, c22, c23, c33, c44, rho, vel_scale
+    )
+    return jnp.where(on_axis, 0.0, (s1 - s2) / step)
+
+
+def _phase_velocity_mode(angle_rad, c22, c23, c33, c44, c66, rho, mode):
+    """Phase velocity of one bulk mode in the 2-3 plane of an orthotropic
+    medium: qP/qSV from the 2x2 in-plane Christoffel matrix (+/- eigenvalue
+    branch), SH from the decoupled c66/c44 row.  Pa units, returns m/s."""
+    ca = np.cos(angle_rad)
+    sa = np.sin(angle_rad)
+    if mode == "qSH":
+        lam = ca * ca * c66 + sa * sa * c44
+        return np.sqrt(lam / rho)
+    A = ca * ca * c22 + sa * sa * c44
+    B = ca * sa * (c23 + c44)
+    C = ca * ca * c44 + sa * sa * c33
+    disc = np.sqrt((A - C) ** 2 + 4.0 * B * B)
+    lam = 0.5 * (A + C + disc) if mode == "qP" else 0.5 * (A + C - disc)
+    return np.sqrt(lam / rho)
+
+
+def generate_mode_curves(c22, c23, c33, c44, rho, c66=None, mode="qP",
+                         n_fine=14400):
+    """(group_curve, phase_curve) 361-entry tables for a chosen bulk mode.
+
+    Extends the reference (which only generates qP curves,
+    Anis_TTF_rays.py:4112-4206) to the shear branches: ``qSV`` uses the
+    smaller eigenvalue of the in-plane Christoffel matrix, ``qSH`` the
+    decoupled horizontally polarised mode (requires c66; defaults to c44).
+    The group curve is built from the phase-slowness surface:
+    ``v_g = sqrt(v_p^2 + (dv_p/dtheta)^2)`` at group angle
+    ``theta_g = theta_p + atan((dv_p/dtheta)/v_p)``, sampled densely and
+    resampled to 1-degree group-angle bins.  The tables plug directly into
+    add_materials-style velocity tables, so the whole solver/ray stack runs
+    shear modes unchanged.
+    """
+    if c66 is None:
+        c66 = c44
+    th = np.linspace(0.0, np.pi, n_fine, endpoint=False)
+    vp = _phase_velocity_mode(th, c22, c23, c33, c44, c66, rho, mode)
+    dvp = np.gradient(vp, th)
+    vg = np.sqrt(vp * vp + dvp * dvp)
+    th_g = th + np.arctan2(dvp, vp)
+
+    # resample group velocity onto integer group angles (0..180)
+    tg_deg = np.degrees(np.mod(th_g, np.pi))
+    order = np.argsort(tg_deg)
+    tg_sorted = tg_deg[order]
+    vg_sorted = vg[order]
+    # wrap-pad for periodic interpolation
+    tg_ext = np.concatenate([tg_sorted - 180.0, tg_sorted, tg_sorted + 180.0])
+    vg_ext = np.concatenate([vg_sorted, vg_sorted, vg_sorted])
+    group = np.zeros(361)
+    group[:181] = np.interp(np.arange(181.0), tg_ext, vg_ext)
+    group[181:] = group[1:181]
+
+    phase = np.zeros(361)
+    phase[:181] = _phase_velocity_mode(
+        np.radians(np.arange(181.0)), c22, c23, c33, c44, c66, rho, mode
+    )
+    phase[181:] = phase[1:181]
+    return group, phase

@@ -159,18 +159,40 @@ def segment_time(model: gridlib.Model, mat_flat, x1, y1, x2, y2,
 
 
 def ray_times(model, mat_flat, ray_x, ray_y, lengths, subgrid_size,
-              max_cross: int = 16):
+              max_cross: int = 16, chunk: int = 64):
     """Travel time along padded ray polylines (ray_time,
     Anis_TTF_rays.py:2992-3022).  ``ray_x/ray_y``: (R, P) fine coords;
-    segment i counts when i + 1 < lengths."""
-    seg_t = segment_time(
-        model, mat_flat,
-        ray_x[:, :-1], ray_y[:, :-1], ray_x[:, 1:], ray_y[:, 1:],
-        subgrid_size, max_cross,
-    )
-    idx = jnp.arange(ray_x.shape[1] - 1)[None, :]
-    mask = idx + 1 < lengths[:, None]
-    return jnp.sum(jnp.where(mask, seg_t, 0.0), axis=1)
+    segment i counts when i + 1 < lengths.
+
+    Segments are integrated in chunks along the padded-length axis so the
+    batched crossing/velocity tensors stay a few MB instead of
+    R * P * max_cross * 8 floats at once.
+    """
+    R, P = ray_x.shape
+    n_seg = P - 1
+    n_chunks = -(-n_seg // chunk)
+    pad = n_chunks * chunk - n_seg
+
+    def prep(a):
+        a = jnp.pad(a, ((0, 0), (0, pad)))
+        return jnp.moveaxis(a.reshape(R, n_chunks, chunk), 1, 0)
+
+    x1 = prep(ray_x[:, :-1])
+    y1 = prep(ray_y[:, :-1])
+    x2 = prep(jnp.pad(ray_x[:, 1:], ((0, 0), (0, 0))))
+    y2 = prep(ray_y[:, 1:])
+    idx = jnp.arange(n_seg + pad).reshape(n_chunks, 1, chunk)[:, 0, :]
+
+    def one_chunk(args):
+        cx1, cy1, cx2, cy2, cidx = args
+        seg_t = segment_time(
+            model, mat_flat, cx1, cy1, cx2, cy2, subgrid_size, max_cross
+        )
+        mask = (cidx[None, :] + 1) < lengths[:, None]
+        return jnp.sum(jnp.where(mask, seg_t, 0.0), axis=1)
+
+    per_chunk = jax.lax.map(one_chunk, (x1, y1, x2, y2, idx))
+    return jnp.sum(per_chunk, axis=0)
 
 
 def _sample_ttf(ttf, x, y, subgrid_size, mode):
@@ -437,3 +459,61 @@ def trace_rays(
 
     times = ray_times(model, mat_flat, bx, by, length, s, max_cross)
     return bx, by, length, times
+
+
+def split_at_cell_boundaries(ray_x, ray_y, max_cross_per_seg: int = 16):
+    """Split a ray polyline so there is a vertex at every grid-cell-boundary
+    crossing (the reference's travel_times utility,
+    Anis_TTF_rays.py:3025-3101), as fixed-width padded arrays.
+
+    ``ray_x``/``ray_y``: (P,) vertex coordinates (original-grid units like
+    the reference).  Returns (xs, ys, valid): (P-1, max_cross_per_seg)
+    arrays of intermediate points per segment plus a validity mask; the
+    flattened valid points, prefixed with the first vertex, reproduce the
+    reference's output order.
+    """
+    x1, x2 = ray_x[:-1], ray_x[1:]
+    y1, y2 = ray_y[:-1], ray_y[1:]
+    dt = jnp.result_type(ray_x, jnp.float32)
+
+    dx_zero = x2 == x1
+    m = jnp.where(dx_zero, 0.0, (y2 - y1) / jnp.where(dx_zero, 1.0, x2 - x1))
+    c = y1 - m * x1
+    dir_x = jnp.where(x1 < x2, 1.0, -1.0)
+    dir_y = jnp.where(y1 < y2, 1.0, -1.0)
+
+    def body(state, _):
+        next_x, next_y, fin_x, fin_y = state
+        done = fin_x & fin_y
+        past_x = ((next_x > x2) & (dir_x == 1)) | ((next_x < x2) & (dir_x == -1))
+        fin_x2 = fin_x | past_x
+        next_x = jnp.where(past_x & ~fin_x, x2, next_x)
+        past_y = ((next_y > y2) & (dir_y == 1)) | ((next_y < y2) & (dir_y == -1))
+        fin_y2 = fin_y | past_y
+        next_y = jnp.where(past_y & ~fin_y, y2, next_y)
+        m_safe = jnp.where(m == 0, 1.0, m)
+        nxy = m * next_x + c
+        nyx = (next_y - c) / m_safe
+        dxc = (x1 - next_x) ** 2 + (y1 - nxy) ** 2
+        dyc = (x1 - nyx) ** 2 + (y1 - next_y) ** 2
+        take_x = jnp.where(dx_zero, False, jnp.where(m == 0, True, dxc < dyc))
+        px = jnp.where(dx_zero, x1, jnp.where(take_x, next_x, nyx))
+        py = jnp.where(dx_zero, next_y, jnp.where(take_x, nxy, next_y))
+        next_x = jnp.where(take_x & ~dx_zero, next_x + dir_x, next_x)
+        next_y = jnp.where((~take_x) | dx_zero, next_y + dir_y, next_y)
+        return (next_x, next_y, fin_x2, fin_y2), (px, py, ~done)
+
+    state = (
+        jnp.round(x1) + dir_x * 0.5,
+        jnp.round(y1) + dir_y * 0.5,
+        jnp.zeros_like(x1, bool),
+        jnp.zeros_like(x1, bool),
+    )
+    _, (xs, ys, valid) = jax.lax.scan(
+        body, state, None, length=max_cross_per_seg
+    )
+    return (
+        jnp.moveaxis(xs, 0, 1).astype(dt),
+        jnp.moveaxis(ys, 0, 1).astype(dt),
+        jnp.moveaxis(valid, 0, 1),
+    )
