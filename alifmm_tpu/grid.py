@@ -91,6 +91,13 @@ class Model:
     # dnx is a data (traced) leaf so same-shape solver stages that differ
     # only in grid spacing share one compilation.
     dnx: jnp.ndarray
+    # Unified per-cell group-velocity curves for the ray tracer: columns =
+    # table materials followed by 1-degree-sampled Christoffel curves of the
+    # unique stiffness rows; ray_curve_idx maps each cell to its column.
+    # Exact for table cells; 1-degree linear sampling (~1e-5 relative) for
+    # stiffness cells.  None when not precomputed (patch models).
+    ray_curves: jnp.ndarray | None
+    ray_curve_idx: jnp.ndarray | None
     has_stif: bool = dataclasses.field(metadata=dict(static=True))
     # seed_sign replicates the travel/travel_finer_grid discrepancy in the
     # analytic source seeding: travel uses eff = (veln - angle) % 180
@@ -182,6 +189,35 @@ def _fallback_slowness_planes(veln, velpn, vel_map, stif, group_tab, has_stif):
     return jnp.stack(planes)
 
 
+
+
+def _ray_curve_tables(velpn_np, stif_np, group_tab_np, has_stif):
+    """Host-side unified group-velocity curve table for the ray tracer.
+
+    Returns (curves (181, M+U) float64, curve_idx (Z, X) int32): table
+    material m keeps its exact reference curve; each unique stiffness row
+    gets the closed-form Christoffel group curve sampled at 1 degree.
+    """
+    M = group_tab_np.shape[1]
+    curves = [np.asarray(group_tab_np[:181], dtype=np.float64)]
+    idx = np.asarray(velpn_np, dtype=np.int32).copy()
+    if has_stif:
+        flat = np.asarray(stif_np, dtype=np.float64).reshape(-1, 5)
+        uniq, inv = np.unique(flat, axis=0, return_inverse=True)
+        ang = np.arange(181.0)
+        ucurves = np.empty((181, uniq.shape[0]))
+        for u, row in enumerate(uniq):
+            ucurves[:, u] = np.asarray(
+                mat.group_velocity_christoffel(
+                    jnp.asarray(ang), row[0], row[1], row[2], row[3], row[4]
+                )
+            )
+        curves.append(ucurves)
+        stif_id = (M + inv.reshape(idx.shape)).astype(np.int32)
+        idx = np.where(idx != 0, idx, stif_id).astype(np.int32)
+    return np.concatenate(curves, axis=1), idx
+
+
 def make_model(
     veln,
     velpn,
@@ -211,6 +247,9 @@ def make_model(
     group_tab = jnp.asarray(group_tab, dtype=dtype)
     phase_tab = jnp.asarray(phase_tab, dtype=dtype)
     fb = _fallback_slowness_planes(veln, velpn, vel_map, stif, group_tab, has_stif)
+    curves, curve_idx = _ray_curve_tables(
+        np.asarray(velpn), np.asarray(stif), np.asarray(group_tab), has_stif
+    )
     return Model(
         veln=veln,
         velpn=velpn,
@@ -220,6 +259,8 @@ def make_model(
         phase_tab=phase_tab,
         fallback_slowness=fb,
         dnx=jnp.asarray(dnx, dtype=dtype),
+        ray_curves=jnp.asarray(curves, dtype=dtype),
+        ray_curve_idx=jnp.asarray(curve_idx),
         has_stif=has_stif,
     )
 
@@ -237,6 +278,11 @@ def refine_model(model: Model, scale: int, dtype=jnp.float32) -> Model:
     fb = _fallback_slowness_planes(
         veln, velpn, vel_map, stif, model.group_tab, model.has_stif
     )
+    curve_idx = (
+        refine_nearest(model.ray_curve_idx, scale)
+        if model.ray_curve_idx is not None
+        else None
+    )
     return Model(
         veln=veln,
         velpn=velpn,
@@ -246,5 +292,7 @@ def refine_model(model: Model, scale: int, dtype=jnp.float32) -> Model:
         phase_tab=model.phase_tab,
         fallback_slowness=fb,
         dnx=model.dnx / scale,
+        ray_curves=model.ray_curves,
+        ray_curve_idx=curve_idx,
         has_stif=model.has_stif,
     )

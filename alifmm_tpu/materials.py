@@ -331,16 +331,24 @@ def generate_mode_curves(c22, c23, c33, c44, rho, c66=None, mode="qP",
     vg = np.sqrt(vp * vp + dvp * dvp)
     th_g = th + np.arctan2(dvp, vp)
 
-    # resample group velocity onto integer group angles (0..180)
+    # Resample group velocity onto integer group angles (0..180).  Near
+    # cusps/triplications the group curve is multivalued in group angle;
+    # the first arrival is the FASTEST branch, so bin samples by nearest
+    # integer angle and keep the maximum, then fill empty bins (shadow
+    # zones between cusps) by interpolation.
     tg_deg = np.degrees(np.mod(th_g, np.pi))
-    order = np.argsort(tg_deg)
-    tg_sorted = tg_deg[order]
-    vg_sorted = vg[order]
-    # wrap-pad for periodic interpolation
-    tg_ext = np.concatenate([tg_sorted - 180.0, tg_sorted, tg_sorted + 180.0])
-    vg_ext = np.concatenate([vg_sorted, vg_sorted, vg_sorted])
+    bins = np.mod(np.round(tg_deg).astype(int), 180)
+    vmax = np.full(180, -np.inf)
+    np.maximum.at(vmax, bins, vg)
+    have = np.isfinite(vmax)
+    k = np.arange(180.0)
+    if not have.all():
+        kk = np.concatenate([k[have] - 180.0, k[have], k[have] + 180.0])
+        vv = np.concatenate([vmax[have]] * 3)
+        vmax[~have] = np.interp(k[~have], kk, vv)
     group = np.zeros(361)
-    group[:181] = np.interp(np.arange(181.0), tg_ext, vg_ext)
+    group[:180] = vmax
+    group[180] = vmax[0]
     group[181:] = group[1:181]
 
     phase = np.zeros(361)

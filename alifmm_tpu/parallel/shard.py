@@ -229,6 +229,8 @@ def solve_halo_sharded(
                 fbs, ((0, 0), (2, 2), (0, 0)), constant_values=1.0
             ),
             dnx=dnx,
+            ray_curves=None,
+            ray_curve_idx=None,
             has_stif=model.has_stif,
         )
         t = pad2(tt)

@@ -43,25 +43,46 @@ __all__ = ["segment_time", "ray_times", "trace_rays"]
 _BIG = 1.0e30
 
 
-def _material_flat(model: gridlib.Model):
-    """(Z*X, 7) per-cell material rows: veln, velpn, vel_map, c22..rho."""
+def _material_flat(model: gridlib.Model, exact: bool = False):
+    """Per-cell material rows for the segment integrator.
+
+    Fast path (default, requires model.ray_curve_idx): (Z*X, 3) rows of
+    (veln, vel_map, unified-curve index) -- velocity comes from the
+    precomputed unified curve table (exact for table cells, 1-degree
+    sampled for stiffness cells).  ``exact=True`` (or a model without
+    precomputed curves) falls back to (Z*X, 8) rows with the full
+    stiffness so the closed-form Christoffel solve runs per crossing,
+    bit-matching the reference.
+    """
     Z, X = model.shape
+    if exact or model.ray_curve_idx is None:
+        cols = [
+            model.veln,
+            model.velpn.astype(model.veln.dtype),
+            model.vel_map,
+            model.stif[..., 0],
+            model.stif[..., 1],
+            model.stif[..., 2],
+            model.stif[..., 3],
+            model.stif[..., 4],
+        ]
+        return jnp.stack(cols, axis=-1).reshape(Z * X, 8)
     cols = [
         model.veln,
-        model.velpn.astype(model.veln.dtype),
         model.vel_map,
-        model.stif[..., 0],
-        model.stif[..., 1],
-        model.stif[..., 2],
-        model.stif[..., 3],
-        model.stif[..., 4],
+        model.ray_curve_idx.astype(model.veln.dtype),
     ]
-    return jnp.stack(cols, axis=-1).reshape(Z * X, 8)
+    return jnp.stack(cols, axis=-1).reshape(Z * X, 3)
 
 
 def _group_velocity_cell(model, mat_row, eff):
     """Group velocity at effective angle ``eff`` for gathered cell rows
     (reference velocity dispatch, Anis_TTF_rays.py:2950-2978)."""
+    if mat_row.shape[-1] == 3:  # unified-curve fast path
+        return mats.interp_table(
+            model.ray_curves, eff,
+            mat_row[..., 2].astype(jnp.int32), mat_row[..., 1],
+        )
     veln, velpn, vel_map = mat_row[..., 0], mat_row[..., 1], mat_row[..., 2]
     v_tab = mats.interp_table(
         model.group_tab, eff, velpn.astype(jnp.int32), vel_map
@@ -225,7 +246,9 @@ def _sample_ttf(ttf, x, y, subgrid_size, mode):
 
 @partial(
     jax.jit,
-    static_argnames=("subgrid_size", "mode", "max_steps", "max_cross"),
+    static_argnames=(
+        "subgrid_size", "mode", "max_steps", "max_cross", "exact_materials"
+    ),
 )
 def trace_rays(
     model: gridlib.Model,
@@ -237,6 +260,7 @@ def trace_rays(
     mode: str = "grid",
     max_steps: int | None = None,
     max_cross: int = 16,
+    exact_materials: bool = False,
 ):
     """March rays from ``source_xy`` to ``receiver_xy`` through the
     receiver's travel-time field (find_ray, Anis_TTF_rays.py:3104-3465).
@@ -269,7 +293,7 @@ def trace_rays(
     sd2 = (plane_dist - 1) * s + 1               # search_dist_2 (:3136)
     K = 2 * sd + 1                               # max candidates per plane
 
-    mat_flat = _material_flat(model)
+    mat_flat = _material_flat(model, exact_materials)
     sqrt2 = np.sqrt(2.0)
 
     src_x = source_xy[:, 0].astype(dt)

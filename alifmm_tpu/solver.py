@@ -90,6 +90,8 @@ def _slice_model(model: gridlib.Model, bz, bx, hz, hx, factor, dtype):
         phase_tab=model.phase_tab,
         fallback_slowness=fb,
         dnx=model.dnx / factor,
+        ray_curves=None,
+        ray_curve_idx=None,
         has_stif=model.has_stif,
     )
 

@@ -1,1 +1,1 @@
-from . import validate  # noqa: F401
+from . import io, profiling, validate  # noqa: F401

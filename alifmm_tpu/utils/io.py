@@ -1,0 +1,59 @@
+"""Saving / resuming of fields and ray results.
+
+The reference's nearest analogs are the ``low_mem`` per-field spill
+(temp_TTF_{i}.npy, Anis_TTF_rays.py:3611-3615) and the weld example's
+final np.save calls (Weld_rays.py:69-72); both conventions are kept, plus
+a bundled checkpoint so long transducer-array jobs can resume.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+__all__ = ["save_fields", "load_fields", "save_rays", "load_rays"]
+
+
+def save_fields(path, fields, source_indices=None):
+    """Save a (n_src, Z, X) field stack; with ``source_indices`` also save
+    which sources they belong to (resume support)."""
+    np.savez_compressed(
+        path,
+        fields=np.asarray(fields),
+        source_indices=(
+            np.asarray(source_indices)
+            if source_indices is not None
+            else np.arange(np.asarray(fields).shape[0])
+        ),
+    )
+
+
+def load_fields(path):
+    d = np.load(path)
+    return d["fields"], d["source_indices"]
+
+
+def save_rays(out_dir, times, ray_paths_x, ray_paths_y, ray_len):
+    """The weld example's output contract (Weld_rays.py:69-72)."""
+    os.makedirs(out_dir, exist_ok=True)
+    max_len = int(np.max(ray_len)) if np.max(ray_len) > 0 else 1
+    np.save(os.path.join(out_dir, "trav_times.npy"), np.asarray(times))
+    np.save(
+        os.path.join(out_dir, "ray_paths_x.npy"),
+        np.asarray(ray_paths_x)[:, :, :max_len],
+    )
+    np.save(
+        os.path.join(out_dir, "ray_paths_y.npy"),
+        np.asarray(ray_paths_y)[:, :, :max_len],
+    )
+    np.save(os.path.join(out_dir, "ray_len.npy"), np.asarray(ray_len))
+
+
+def load_rays(in_dir):
+    return (
+        np.load(os.path.join(in_dir, "trav_times.npy")),
+        np.load(os.path.join(in_dir, "ray_paths_x.npy")),
+        np.load(os.path.join(in_dir, "ray_paths_y.npy")),
+        np.load(os.path.join(in_dir, "ray_len.npy")),
+    )

@@ -100,3 +100,45 @@ def test_interp_table_matches_reference_lookup():
         )
     )
     np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
+def test_mode_curves():
+    """qSV/qSH curves: isotropic reduction and qP consistency."""
+    # isotropic medium: qP = sqrt(c22/rho), qSV = qSH = sqrt(c44/rho)
+    c22 = 250e9
+    c44 = 80e9
+    c23 = c22 - 2 * c44
+    rho = 7800.0
+    g_p, p_p = mats.generate_mode_curves(c22, c23, c22, c44, rho, mode="qP")
+    g_sv, p_sv = mats.generate_mode_curves(c22, c23, c22, c44, rho, mode="qSV")
+    g_sh, p_sh = mats.generate_mode_curves(c22, c23, c22, c44, rho, mode="qSH")
+    np.testing.assert_allclose(g_p[:181], np.sqrt(c22 / rho), rtol=1e-6)
+    np.testing.assert_allclose(g_sv[:181], np.sqrt(c44 / rho), rtol=1e-6)
+    np.testing.assert_allclose(g_sh[:181], np.sqrt(c44 / rho), rtol=1e-6)
+    # anisotropic qP phase curve must match the reference generator
+    want = mats.generate_phase_vel_curve(
+        263e9, 145e9, 216e9, 129e9, 7800
+    )
+    _, p = mats.generate_mode_curves(263e9, 145e9, 216e9, 129e9, 7800, mode="qP")
+    np.testing.assert_allclose(p[1:180], want[1:180], rtol=1e-10)
+    # qP group curve from the slowness surface vs the closed form
+    g, _ = mats.generate_mode_curves(263e9, 145e9, 216e9, 129e9, 7800, mode="qP")
+    want_g = mats.generate_group_vel_curve(263e9, 145e9, 216e9, 129e9, 7800)
+    np.testing.assert_allclose(g[:181], want_g[:181], rtol=2e-3)
+
+
+def test_slowness_derivative_matches_reference():
+    want = np.array(
+        [
+            ref.slown_d_slown_stif(a, C22, C23, C33, C44, RHO, 1.0)
+            for a in [0.0, 10.0, 30.0, 44.0, 46.0, 80.0, 90.0, 120.0, 170.0]
+        ]
+    )
+    got = np.asarray(
+        mats.slowness_derivative(
+            jnp.asarray([0.0, 10.0, 30.0, 44.0, 46.0, 80.0, 90.0, 120.0, 170.0],
+                        jnp.float64),
+            C22, C23, C33, C44, RHO,
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-12)
