@@ -60,6 +60,7 @@ class ALI_FMM:
         dnx=1e-3,
         dtype=jnp.float32,
         ttf_mode="interp",
+        ray_opts=None,
     ):
         # --- validation, matching Anis_TTF_rays.py:3818-3838 --------------
         self.stif_den = stif_den
@@ -122,6 +123,10 @@ class ALI_FMM:
 
         self._dtype = dtype
         self._ttf_mode = ttf_mode
+        # extra rays.trace_rays knobs (step_scale / quad_vel / relax_iters /
+        # max_steps / max_cross) -- speed/accuracy trade, default reference
+        # geometry
+        self._ray_opts = dict(ray_opts or {})
         self._cfg = solverlib.SolveConfig()
 
     # ------------------------------------------------------------------ #
@@ -239,6 +244,7 @@ class ALI_FMM:
             jnp.asarray(rec_xy),
             s,
             mode=self._ttf_mode,
+            **self._ray_opts,
         )
         rx = np.asarray(rx, dtype=np.float64)
         ry = np.asarray(ry, dtype=np.float64)

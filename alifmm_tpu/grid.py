@@ -99,6 +99,17 @@ class Model:
     ray_curves: jnp.ndarray | None
     ray_curve_idx: jnp.ndarray | None
     has_stif: bool = dataclasses.field(metadata=dict(static=True))
+    # Static column summaries (materials.column_info) of phase_tab /
+    # group_tab / ray_curves: which material columns can be selected and
+    # which are constant.  Lets interp_table skip the 181-knot hat expansion
+    # for isotropic table materials -- the dominant cost of the sweep's
+    # local update otherwise.  None -> no assumption (full expansion).
+    phase_info: tuple | None = dataclasses.field(
+        default=None, metadata=dict(static=True))
+    group_info: tuple | None = dataclasses.field(
+        default=None, metadata=dict(static=True))
+    ray_info: tuple | None = dataclasses.field(
+        default=None, metadata=dict(static=True))
     # seed_sign replicates the travel/travel_finer_grid discrepancy in the
     # analytic source seeding: travel uses eff = (veln - angle) % 180
     # (Anis_TTF_rays.py:1558) while travel_finer_grid uses (veln + angle)
@@ -115,7 +126,8 @@ def group_velocity_at(model: Model, eff_angle_deg):
     table interpolation and the runtime Christoffel solve exactly like the
     reference kernels (e.g. Anis_TTF_rays.py:287-315)."""
     eff = jnp.mod(eff_angle_deg, 180.0)
-    v_tab = mat.interp_table(model.group_tab, eff, model.velpn, model.vel_map)
+    v_tab = mat.interp_table(model.group_tab, eff, model.velpn, model.vel_map,
+                             info=model.group_info)
     if not model.has_stif:
         return v_tab
     v_chr = mat.group_velocity_christoffel(
@@ -138,7 +150,8 @@ def phase_velocity_at(model: Model, eff_angle_deg, velpn=None, vel_map=None, sti
     vel_map = model.vel_map if vel_map is None else vel_map
     stif = model.stif if stif is None else stif
     eff = jnp.mod(eff_angle_deg, 180.0)
-    v_tab = mat.interp_table(model.phase_tab, eff, velpn, vel_map)
+    v_tab = mat.interp_table(model.phase_tab, eff, velpn, vel_map,
+                             info=model.phase_info)
     if not model.has_stif:
         return v_tab
     v_chr = mat.phase_velocity_christoffel(
@@ -250,6 +263,11 @@ def make_model(
     curves, curve_idx = _ray_curve_tables(
         np.asarray(velpn), np.asarray(stif), np.asarray(group_tab), has_stif
     )
+    used = np.unique(np.asarray(velpn))
+    used = used[used > 0]
+    phase_info = mat.column_info(phase_tab, used)
+    group_info = mat.column_info(group_tab, used)
+    ray_info = mat.column_info(curves, np.unique(curve_idx))
     return Model(
         veln=veln,
         velpn=velpn,
@@ -262,6 +280,9 @@ def make_model(
         ray_curves=jnp.asarray(curves, dtype=dtype),
         ray_curve_idx=jnp.asarray(curve_idx),
         has_stif=has_stif,
+        phase_info=phase_info,
+        group_info=group_info,
+        ray_info=ray_info,
     )
 
 
@@ -295,4 +316,7 @@ def refine_model(model: Model, scale: int, dtype=jnp.float32) -> Model:
         ray_curves=model.ray_curves,
         ray_curve_idx=curve_idx,
         has_stif=model.has_stif,
+        phase_info=model.phase_info,
+        group_info=model.group_info,
+        ray_info=model.ray_info,
     )

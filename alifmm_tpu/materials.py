@@ -245,7 +245,28 @@ def interp_table_gather(table, eff_angle_deg, mat_idx, vel_map):
     return vel_map * ((1.0 - w) * v1 + w * v2)
 
 
-def interp_table(table, eff_angle_deg, mat_idx, vel_map):
+def column_info(table, used=None):
+    """Static per-column summary of a concrete (A, M) velocity table.
+
+    Returns a hashable tuple of ``(m, const)`` for every *used* material
+    column: ``const`` is the column's constant value when it is flat (an
+    isotropic material -- the overwhelmingly common case for parent metal)
+    and None when the curve actually varies.  Baked into Model as static
+    metadata so interp_table can skip the hat expansion for flat columns.
+    """
+    t = np.asarray(table)
+    M = t.shape[1]
+    cols = range(M) if used is None else sorted(int(u) for u in used)
+    out = []
+    for m in cols:
+        if m < 0 or m >= M:
+            continue
+        col = t[:181, m]
+        out.append((m, float(col[0]) if np.ptp(col) == 0.0 else None))
+    return tuple(out)
+
+
+def interp_table(table, eff_angle_deg, mat_idx, vel_map, info=None):
     """Gather-free linear interpolation of a (361, M) velocity table.
 
     Mathematically identical to interp_table_gather (the reference lookup,
@@ -255,11 +276,30 @@ def interp_table(table, eff_angle_deg, mat_idx, vel_map):
     vector math -- dynamic gathers are an order of magnitude slower on TPU
     and dominate the solver's hot loop otherwise.  The material column is
     resolved by a static unrolled select (tables are small).
+
+    ``info`` (from column_info): static list of the columns that can
+    actually be selected and which of them are constant -- constant columns
+    skip the 181-knot expansion entirely and unused columns are never
+    evaluated, which removes the expansion from the solver's hot loop for
+    isotropic table materials.
     """
     eff = jnp.mod(jnp.asarray(eff_angle_deg), 180.0)
     M = table.shape[1]
     mat_idx = mat_idx.astype(jnp.int32)
     dt = eff.dtype
+    if info is not None:
+        shape = jnp.broadcast_shapes(eff.shape, mat_idx.shape)
+        varying = [m for (m, const) in info if const is None]
+        acc = {m: jnp.zeros(shape, dt) for m in varying}
+        for k in range(181):
+            h = jnp.maximum(0.0, 1.0 - jnp.abs(eff - float(k)))
+            for m in varying:
+                acc[m] = acc[m] + table[k % 180, m] * h
+        out = jnp.ones(shape, dt)
+        for (m, const) in info:
+            val = acc[m] if const is None else jnp.full(shape, const, dt)
+            out = jnp.where(mat_idx == m, val, out)
+        return vel_map * out
     acc = [jnp.zeros(jnp.broadcast_shapes(eff.shape, mat_idx.shape), dt)
            for _ in range(M)]
     # hat-function expansion over the 180 1-degree knots + wrap term

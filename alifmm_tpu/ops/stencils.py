@@ -33,6 +33,7 @@ accidentally swapped for nnx at one stage-1 call site
 
 from __future__ import annotations
 
+import contextlib
 import math
 from typing import Dict, Tuple
 
@@ -43,6 +44,46 @@ import numpy as np
 from .. import grid as gridlib
 
 INF = 1.0e9
+
+# Swappable arctan: the XLA path uses jnp.arctan (bit-parity with the
+# reference); Mosaic has no atan lowering, so the Pallas kernel swaps in
+# the Cephes atanf polynomial below while its body is being traced.
+_ATAN = [jnp.arctan]
+
+
+def atan_poly(x):
+    """Branchless single-precision arctan (Cephes atanf scheme: range
+    reduction at tan(pi/8) / tan(3pi/8) + degree-4 polynomial in x^2;
+    ~1 ulp in float32).  Used inside Pallas kernels where lax.atan has no
+    Mosaic lowering."""
+    sign = x < 0.0
+    ax = jnp.abs(x)
+    t3p8 = 2.414213562373095
+    tp8 = 0.4142135623730950
+    big = ax > t3p8
+    mid = (ax > tp8) & (~big)
+    safe = jnp.maximum(ax, 1e-30)
+    xx = jnp.where(big, 1.0 / safe, jnp.where(mid, (ax - 1.0) / (ax + 1.0), ax))
+    z = xx * xx
+    p = (
+        ((8.05374449538e-2 * z - 1.38776856032e-1) * z + 1.99777106478e-1)
+        * z
+        - 3.33329491539e-1
+    ) * z * xx + xx
+    y = jnp.where(
+        big, np.pi / 2 - p, jnp.where(mid, np.pi / 4 + p, p)
+    )
+    return jnp.where(sign, -y, y)
+
+
+@contextlib.contextmanager
+def use_atan(fn):
+    """Swap the arctan implementation while tracing a kernel body."""
+    _ATAN.insert(0, fn)
+    try:
+        yield
+    finally:
+        _ATAN.pop(0)
 _BIG_DIFF = 1.0e30
 SQRT2 = math.sqrt(2.0)
 SQRT5 = math.sqrt(5.0)
@@ -104,7 +145,7 @@ def _wavefront_angle_dist(xA, zA, xB, zB, xC, zC, yA, yB, yC):
     dz = zB - zpos
     dx_zero = dx == 0.0
     dx_safe = jnp.where(dx_zero, 1.0, dx)
-    angle = jnp.mod(jnp.degrees(jnp.arctan(dz / dx_safe)) + 90.0, 180.0)
+    angle = jnp.mod(jnp.degrees(_ATAN[0](dz / dx_safe)) + 90.0, 180.0)
     angle = jnp.where(dx_zero, 0.0, angle)
     norm = jnp.sqrt(dx * dx + dz * dz)
     norm_safe = jnp.where(norm == 0.0, 1.0, norm)
@@ -118,9 +159,16 @@ def _ali_candidate(nbr, known, edges):
     """Best ALI stencil for every point: returns (angle, dist, wtime,
     inputs_max) with dist = -1 where no stencil is usable (-> fouds
     fallback).  ``inputs_max`` is the largest stencil value used, for the
-    optional causality filter of the iterative driver."""
+    optional causality filter of the iterative driver.
+
+    Selection is a running strict-less minimum over the unrolled stencils
+    (first stencil wins ties -- identical to the reference's sequential
+    if-chains and to argmin-over-stack semantics) so no stack / argmin /
+    gather appears: the whole selection fuses into predicated vector math,
+    which also keeps it legal inside a Pallas kernel.
+    """
     # ---- square stencils --------------------------------------------------
-    diffs, angles, dists, wtimes, maxs = [], [], [], [], []
+    sq_min_diff = None
     for (A, P, Q) in _SQ:
         tA, tP, tQ = nbr[A], nbr[P], nbr[Q]
         valid = known[A] & known[P] & known[Q]
@@ -135,33 +183,24 @@ def _ali_candidate(nbr, known, edges):
         ang, dst = _wavefront_angle_dist(
             float(A[1]), float(A[0]), xB, zB, xC, zC, tA, yB, yC
         )
-        diffs.append(diff)
-        angles.append(ang)
-        dists.append(dst)
-        wtimes.append(yB)
-        maxs.append(jnp.maximum(tA, jnp.maximum(tP, tQ)))
-    sq_diff = jnp.stack(diffs)
-    best = jnp.argmin(sq_diff, axis=0)
-    sq_min_diff = jnp.min(sq_diff, axis=0)
+        mx = jnp.maximum(tA, jnp.maximum(tP, tQ))
+        if sq_min_diff is None:
+            sq_min_diff, sq_angle, sq_dist, sq_wtime, sq_max = (
+                diff, ang, dst, yB, mx
+            )
+        else:
+            better = diff < sq_min_diff
+            sq_angle = jnp.where(better, ang, sq_angle)
+            sq_dist = jnp.where(better, dst, sq_dist)
+            sq_wtime = jnp.where(better, yB, sq_wtime)
+            sq_max = jnp.where(better, mx, sq_max)
+            sq_min_diff = jnp.where(better, diff, sq_min_diff)
     sq_any = sq_min_diff < _BIG_DIFF
-
-    def _sel(vals):
-        # one-hot select instead of take_along_axis: gathers are slow on
-        # TPU; eight predicated selects fuse into the surrounding kernel.
-        out = vals[0]
-        for s in range(1, len(vals)):
-            out = jnp.where(best == s, vals[s], out)
-        return out
-
-    sq_angle = _sel(angles)
-    sq_dist = _sel(dists)
-    sq_wtime = _sel(wtimes)
-    sq_max = _sel(maxs)
 
     # ---- triangular stencils ----------------------------------------------
     c1 = SQRT2 - 1.0
     c2 = 2.0 - SQRT2
-    t_diffs, t_angles, t_dists, t_wtimes, t_maxs = [], [], [], [], []
+    tri_min_diff = None
     for spec in _TRI:
         F, M, D = spec["F"], spec["M"], spec["D"]
         tF, tM, tD = nbr[F], nbr[M], nbr[D]
@@ -186,26 +225,19 @@ def _ali_candidate(nbr, known, edges):
             wt = tD
         else:
             wt = yB
-        t_diffs.append(diff)
-        t_angles.append(ang)
-        t_dists.append(dst)
-        t_wtimes.append(wt)
-        t_maxs.append(jnp.maximum(tM, tD))  # tF < min(tM, tD) when valid
-    tri_diff = jnp.stack(t_diffs)
-    tri_best = jnp.argmin(tri_diff, axis=0)
-    tri_min_diff = jnp.min(tri_diff, axis=0)
+        mx = jnp.maximum(tM, tD)  # tF < min(tM, tD) when valid
+        if tri_min_diff is None:
+            tri_min_diff, tri_angle, tri_dist, tri_wtime, tri_max = (
+                diff, ang, dst, wt, mx
+            )
+        else:
+            better = diff < tri_min_diff
+            tri_angle = jnp.where(better, ang, tri_angle)
+            tri_dist = jnp.where(better, dst, tri_dist)
+            tri_wtime = jnp.where(better, wt, tri_wtime)
+            tri_max = jnp.where(better, mx, tri_max)
+            tri_min_diff = jnp.where(better, diff, tri_min_diff)
     tri_any = tri_min_diff < _BIG_DIFF
-
-    def _tsel(vals):
-        out = vals[0]
-        for s in range(1, len(vals)):
-            out = jnp.where(tri_best == s, vals[s], out)
-        return out
-
-    tri_angle = _tsel(t_angles)
-    tri_dist = _tsel(t_dists)
-    tri_wtime = _tsel(t_wtimes)
-    tri_max = _tsel(t_maxs)
 
     # ---- combine (Anis_TTF_rays.py:1146, :1202-1262) -----------------------
     on_boundary = edges["left"] | edges["right"] | edges["top"] | edges["bottom"]
@@ -423,6 +455,7 @@ def local_update(
     model: "gridlib.Model",
     dnx: float,
     causal: bool = False,
+    vel_fn=None,
 ):
     """One local solve at every point of a block.
 
@@ -436,10 +469,19 @@ def local_update(
     convergence of the parallel iterative driver (the reference's heap
     ordering provides this implicitly); ``causal=False`` is the exact
     reference operator used for parity tests and polish passes.
+
+    ``vel_fn``: optional ``eff_angle_deg -> phase velocity`` override used
+    by the Pallas sweep kernel (folded per-cell Christoffel coefficients
+    instead of the Model dispatch).
     """
     angle, dist, wtime, imax = _ali_candidate(nbr, known, edges)
     eff = jnp.mod(veln - angle, 180.0)
-    vel = gridlib.phase_velocity_at(model, eff, velpn=velpn, vel_map=vel_map, stif=stif)
+    if vel_fn is not None:
+        vel = vel_fn(eff)
+    else:
+        vel = gridlib.phase_velocity_at(
+            model, eff, velpn=velpn, vel_map=vel_map, stif=stif
+        )
     ali_val = wtime + dist * dnx / vel
     ali_ok = dist >= 0.0
     if causal:

@@ -232,6 +232,9 @@ def solve_halo_sharded(
             ray_curves=None,
             ray_curve_idx=None,
             has_stif=model.has_stif,
+            phase_info=model.phase_info,
+            group_info=model.group_info,
+            ray_info=None,
         )
         t = pad2(tt)
         f = jnp.pad(fixed, ((2, 2), (0, 0)), constant_values=True)

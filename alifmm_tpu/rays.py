@@ -38,7 +38,8 @@ import numpy as np
 from . import grid as gridlib
 from . import materials as mats
 
-__all__ = ["segment_time", "ray_times", "trace_rays"]
+__all__ = ["segment_time", "segment_time_quad", "ray_times", "trace_rays",
+           "relax_rays"]
 
 _BIG = 1.0e30
 
@@ -82,6 +83,7 @@ def _group_velocity_cell(model, mat_row, eff):
         return mats.interp_table(
             model.ray_curves, eff,
             mat_row[..., 2].astype(jnp.int32), mat_row[..., 1],
+            info=model.ray_info,
         )
     veln, velpn, vel_map = mat_row[..., 0], mat_row[..., 1], mat_row[..., 2]
     v_tab = mats.interp_table(
@@ -179,6 +181,40 @@ def segment_time(model: gridlib.Model, mat_flat, x1, y1, x2, y2,
     return jnp.sum(dists / vel, axis=0)
 
 
+def segment_time_quad(model, mat_flat, x1, y1, x2, y2, subgrid_size):
+    """Composite-Simpson (5-point) estimate of a straight segment's travel
+    time: slowness sampled at t = 0, 1/4, 1/2, 3/4, 1 with weights
+    (1, 4, 2, 4, 1)/12 instead of walking every cell-boundary crossing --
+    the cheap candidate-scoring path of the ray march (see trace_rays
+    ``quad_vel``).  Resolves the material cell every ~1.2 coarse cells for
+    the longest step_scale=3 candidate segments, which keeps the candidate
+    argmin aligned with the exact integral across material boundaries.
+    Coordinates are fine-grid like segment_time.
+    """
+    Z, X = model.shape
+    s = subgrid_size
+    dx_zero = x2 == x1
+    angle = jnp.where(
+        dx_zero,
+        0.0,
+        jnp.degrees(jnp.arctan((y2 - y1) / jnp.where(dx_zero, 1.0, x2 - x1))),
+    )
+    dist = jnp.sqrt((x2 - x1) ** 2 + (y2 - y1) ** 2) / s
+
+    def slow_at(xm, ym):
+        xi = jnp.clip(jnp.round(xm / s).astype(jnp.int32), 0, X - 1)
+        yi = jnp.clip(jnp.round(ym / s).astype(jnp.int32), 0, Z - 1)
+        row = jnp.take(mat_flat, yi * X + xi, axis=0)
+        eff = jnp.mod(row[..., 0] - angle, 180.0)
+        return 1.0 / _group_velocity_cell(model, row, eff)
+
+    acc = slow_at(x1, y1) + slow_at(x2, y2)
+    acc = acc + 4.0 * slow_at(x1 + (x2 - x1) * 0.25, y1 + (y2 - y1) * 0.25)
+    acc = acc + 2.0 * slow_at((x1 + x2) * 0.5, (y1 + y2) * 0.5)
+    acc = acc + 4.0 * slow_at(x1 + (x2 - x1) * 0.75, y1 + (y2 - y1) * 0.75)
+    return model.dnx * dist * acc * (1.0 / 12.0)
+
+
 def ray_times(model, mat_flat, ray_x, ray_y, lengths, subgrid_size,
               max_cross: int = 16, chunk: int = 64):
     """Travel time along padded ray polylines (ray_time,
@@ -216,6 +252,89 @@ def ray_times(model, mat_flat, ray_x, ray_y, lengths, subgrid_size,
     return jnp.sum(per_chunk, axis=0)
 
 
+def relax_rays(model, mat_flat, ray_x, ray_y, lengths, subgrid_size,
+               iters: int = 2, span: float | None = None,
+               max_cross: int = 12, chunk: int = 64):
+    """Parallel Fermat relaxation of ray polylines.
+
+    Each interior vertex moves along the perpendicular of its local chord
+    to minimise seg(prev, v) + seg(v, next) -- the discrete Fermat
+    stationarity condition -- evaluated with the exact cell-crossing
+    integrator.  Vertices update in even/odd waves (neighbours of a moving
+    vertex stay put within a wave) so every wave is a single vectorised
+    evaluation over all rays and vertices; no sequential marching.
+
+    Used to recover the path accuracy lost to long marching strides
+    (trace_rays ``step_scale``): the march fixes the topology, relaxation
+    restores the h^2 chord error.  ``span``: candidate offset h in fine
+    cells (default: subgrid_size).
+    """
+    R, P = ray_x.shape
+    if P < 3:
+        return ray_x, ray_y
+    h = float(subgrid_size) if span is None else float(span)
+    n_mid = P - 2
+    n_chunks = -(-n_mid // chunk)
+    pad = n_chunks * chunk - n_mid
+
+    def segs(px, py, cx, cy, nx, ny):
+        """seg(prev, cand) + seg(cand, next), chunked over vertices."""
+        def prep(a):
+            a = jnp.pad(a, ((0, 0), (0, pad)))
+            return jnp.moveaxis(a.reshape(R, n_chunks, chunk), 1, 0)
+        args = tuple(prep(a) for a in (px, py, cx, cy, nx, ny))
+
+        def one(c):
+            p_x, p_y, c_x, c_y, q_x, q_y = c
+            return (
+                segment_time(model, mat_flat, p_x, p_y, c_x, c_y,
+                             subgrid_size, max_cross)
+                + segment_time(model, mat_flat, c_x, c_y, q_x, q_y,
+                               subgrid_size, max_cross)
+            )
+        out = jax.lax.map(one, args)
+        return jnp.moveaxis(out, 0, 1).reshape(R, n_chunks * chunk)[:, :n_mid]
+
+    vidx = jnp.arange(1, P - 1)
+
+    def wave(xs, ys, parity):
+        px, py = xs[:, :-2], ys[:, :-2]
+        cx, cy = xs[:, 1:-1], ys[:, 1:-1]
+        nx, ny = xs[:, 2:], ys[:, 2:]
+        tx = nx - px
+        ty = ny - py
+        nrm = jnp.sqrt(tx * tx + ty * ty)
+        nrm = jnp.where(nrm == 0.0, 1.0, nrm)
+        ux = -ty / nrm
+        uy = tx / nrm
+        c0 = segs(px, py, cx, cy, nx, ny)
+        cm = segs(px, py, cx - ux * h, cy - uy * h, nx, ny)
+        cp = segs(px, py, cx + ux * h, cy + uy * h, nx, ny)
+        d1 = cm - c0
+        d3 = cp - c0
+        ssum = d1 + d3
+        convex = ssum > 0.0
+        ssafe = jnp.where(convex, ssum, 1.0)
+        off = jnp.clip((d1 - d3) / (2.0 * ssafe), -1.0, 1.0) * h
+        # non-convex: step to whichever endpoint is cheaper (if cheaper)
+        ends = jnp.where(cm < cp, -h, h)
+        better = jnp.minimum(cm, cp) < c0
+        off = jnp.where(convex, off, jnp.where(better, ends, 0.0))
+        move = (
+            ((vidx[None, :] % 2) == parity)
+            & (vidx[None, :] < (lengths - 1)[:, None])
+        )
+        off = jnp.where(move, off, 0.0)
+        xs = xs.at[:, 1:-1].set(cx + ux * off)
+        ys = ys.at[:, 1:-1].set(cy + uy * off)
+        return xs, ys
+
+    for _ in range(iters):
+        ray_x, ray_y = wave(ray_x, ray_y, 1)
+        ray_x, ray_y = wave(ray_x, ray_y, 0)
+    return ray_x, ray_y
+
+
 def _sample_ttf(ttf, x, y, subgrid_size, mode):
     """Sample the receiver TTF at fine coordinates (x, y)."""
     if mode == "grid":
@@ -247,7 +366,8 @@ def _sample_ttf(ttf, x, y, subgrid_size, mode):
 @partial(
     jax.jit,
     static_argnames=(
-        "subgrid_size", "mode", "max_steps", "max_cross", "exact_materials"
+        "subgrid_size", "mode", "max_steps", "max_cross", "exact_materials",
+        "step_scale", "quad_vel", "return_reason", "relax_iters",
     ),
 )
 def trace_rays(
@@ -261,6 +381,10 @@ def trace_rays(
     max_steps: int | None = None,
     max_cross: int = 16,
     exact_materials: bool = False,
+    step_scale: int = 1,
+    quad_vel: bool = False,
+    return_reason: bool = False,
+    relax_iters: int = 0,
 ):
     """March rays from ``source_xy`` to ``receiver_xy`` through the
     receiver's travel-time field (find_ray, Anis_TTF_rays.py:3104-3465).
@@ -274,6 +398,21 @@ def trace_rays(
     Returns (ray_x, ray_y, lengths, times): padded (R, P) polylines in fine
     coordinates including source and receiver, like the reference buffers
     (5 * (nnz + nnx), Anis_TTF_rays.py:3140).
+
+    Speed knobs (defaults replicate the reference exactly):
+
+    * ``step_scale=k`` marches k coarse cells per step instead of one
+      (plane offset k*s away from the last point, dropping back to s near
+      the receiver).  Rays are Fermat-stationary paths, so the travel time
+      is second-order insensitive to the coarser polyline; final times are
+      always integrated exactly over the returned vertices.
+    * ``quad_vel=True`` scores candidate points during the march with a
+      3-point Simpson quadrature of slowness along the segment (endpoint /
+      midpoint material samples) instead of the exact cell-crossing walk --
+      16x fewer material gathers per step.  The argmin over candidates is
+      unchanged wherever the quadrature ranks candidates like the exact
+      integral (it does except for hair-thin ties near material
+      boundaries); final times are exact either way.
     """
     Z, X = model.shape
     s = int(subgrid_size)
@@ -284,8 +423,9 @@ def trace_rays(
         rows, cols = rec_ttf.shape[-2], rec_ttf.shape[-1]
     else:
         rows, cols = (Z - 1) * s + 1, (X - 1) * s + 1
+    k_step = int(step_scale)
     if max_steps is None:
-        max_steps = 5 * (Z + X)
+        max_steps = -(-5 * (Z + X) // k_step)
     P = max_steps + 2
 
     plane_dist = 3
@@ -295,6 +435,15 @@ def trace_rays(
 
     mat_flat = _material_flat(model, exact_materials)
     sqrt2 = np.sqrt(2.0)
+    # In-loop scoring must resolve every crossing of the longest candidate
+    # segment: near the Fermat minimum the TT-over-candidates curve is flat
+    # to ~1e-9 s, so a truncated walk (or a coarse quadrature) mis-ranks
+    # candidates and trips the "increasing" truncation guard.  The longest
+    # segment spans ~(step + 2) cells per axis.
+    if k_step == 1:
+        in_cross = max_cross
+    else:
+        in_cross = max(max_cross, 2 * (k_step + 2) + 4)
 
     src_x = source_xy[:, 0].astype(dt)
     src_y = source_xy[:, 1].astype(dt)
@@ -308,13 +457,19 @@ def trace_rays(
     sample_b = jax.vmap(_sample_one)
 
     def step(state):
-        (last_x, last_y, vec_x, vec_y, bx, by, length, done, k) = state
+        (last_x, last_y, vec_x, vec_y, bx, by, length, done, reason,
+         k) = state
 
         near2 = (last_x - rec_x) ** 2 + (last_y - rec_y) ** 2
         # snap toward the receiver inside 4*s (:3158-3160)
         snap = near2 < (4.0 * s) ** 2
         vec_x = jnp.where(snap, rec_x - last_x, vec_x)
         vec_y = jnp.where(snap, rec_y - last_y, vec_y)
+        # step_scale > 1: long strides far from the receiver, reference
+        # stride s inside (k_step + 3) * s so the approach stays gentle
+        off = jnp.where(
+            near2 < ((k_step + 3.0) * s) ** 2, float(s), float(k_step * s)
+        )
 
         scores = jnp.stack(
             [
@@ -334,12 +489,12 @@ def trace_rays(
         # case 1: y = -x + c -> points (x0 + i, c - x), moving up-right/down-left
         # case 2: y = c      -> points (x0 + i, c)
         # case 3: y = x + c  -> points (x0 + i, x + c)
-        c0 = rl_x + jnp.where(vec_x > 0, float(s), -float(s))
+        c0 = rl_x + jnp.where(vec_x > 0, off, -off)
         oob0 = (c0 < 0) | (c0 >= cols)
         lo0 = jnp.maximum(0.0, rl_y - sd)
         hi0 = jnp.minimum(rows - 1.0, rl_y + sd)
 
-        c1 = rl_x + rl_y + jnp.where(vec_x > 0, float(s), -float(s))
+        c1 = rl_x + rl_y + jnp.where(vec_x > 0, off, -off)
         lo1 = jnp.where(
             vec_x > 0,
             jnp.maximum(jnp.maximum(0.0, c1 - (rows - 1.0)), rl_x - sd2),
@@ -351,12 +506,12 @@ def trace_rays(
             jnp.minimum(jnp.minimum(cols - 1.0, c1), rl_x + sd2),
         )
 
-        c2 = rl_y + jnp.where(vec_y > 0, float(s), -float(s))
+        c2 = rl_y + jnp.where(vec_y > 0, off, -off)
         oob2 = (c2 < 0) | (c2 >= rows)
         lo2 = jnp.maximum(0.0, rl_x - sd)
         hi2 = jnp.minimum(cols - 1.0, rl_x + sd)
 
-        c3 = rl_y - rl_x + jnp.where(vec_x < 0, float(s), -float(s))
+        c3 = rl_y - rl_x + jnp.where(vec_x < 0, off, -off)
         lo3 = jnp.where(
             vec_x < 0,
             jnp.maximum(jnp.maximum(0.0, -c3), rl_y - c3 - sd2),
@@ -396,31 +551,46 @@ def trace_rays(
 
         ridx = jnp.arange(R)
         tt_plane = sample_b(ttf_index, px, py)
-        seg = segment_time(
-            model, mat_flat,
-            last_x[:, None], last_y[:, None], px, py, s, max_cross,
-        )
+        if quad_vel:
+            seg = segment_time_quad(
+                model, mat_flat, last_x[:, None], last_y[:, None], px, py, s
+            )
+        else:
+            seg = segment_time(
+                model, mat_flat,
+                last_x[:, None], last_y[:, None], px, py, s, in_cross,
+            )
         TT = tt_plane + seg
         col = jnp.arange(K)[None, :]
         TT = jnp.where(col < n_k[:, None], TT, _BIG)
 
-        # endpoints (:3192-3197)
+        # endpoints (:3192-3197); position capped at K - 1 when the window
+        # is wider than the evaluated K candidates (large step_scale)
+        last_col = jnp.minimum(n_k - 1, K - 1)
         tt_first = TT[:, 0]
-        tt_last = jnp.take_along_axis(TT, (n_k - 1)[:, None], axis=1)[:, 0]
+        tt_last = jnp.take_along_axis(TT, last_col[:, None], axis=1)[:, 0]
         best_val = jnp.where(tt_first < tt_last, tt_first, tt_last)
-        best_pos = jnp.where(tt_first < tt_last, 0.0, (n_k - 1).astype(dt))
+        best_pos = jnp.where(tt_first < tt_last, 0.0, last_col.astype(dt))
 
-        # interior local minima with quadratic refinement (:3199-3218)
+        # interior local minima with quadratic refinement (:3199-3218).
+        # Differences-first formulation: t1 + t3 - 2 t2 cancels
+        # catastrophically in f32 when the TT valley is flat (long
+        # step_scale strides), exploding the vertex offset; d1/d3 are
+        # computed as (exact) small differences instead, and the vertex of
+        # a 3-point parabola with t2 minimal always lies in [-1/2, 1/2].
         t1 = TT[:, :-2]
         t2 = TT[:, 1:-1]
         t3 = TT[:, 2:]
         is_min = (t1 >= t2) & (t2 <= t3) & (col[:, :-2] + 2 < n_k[:, None])
-        a = (t1 + t3 - 2 * t2) / 2
-        b = (t3 - t1) / 2
-        a_zero = a == 0
-        off = jnp.where(a_zero, 0.0, -b / (2 * jnp.where(a_zero, 1.0, a)))
-        val = jnp.where(a_zero, t2, a * off * off + b * off + t2)
-        pos = off + (col[:, :-2] + 1).astype(dt)
+        d1 = t1 - t2
+        d3 = t3 - t2
+        ssum = d1 + d3
+        flat = ssum <= 0
+        ssafe = jnp.where(flat, 1.0, ssum)
+        o = jnp.clip((d1 - d3) / (2.0 * ssafe), -0.5, 0.5)
+        o = jnp.where(flat, 0.0, o)
+        val = t2 + (0.5 * ssum) * o * o + (0.5 * (d3 - d1)) * o
+        pos = o + (col[:, :-2] + 1).astype(dt)
         val = jnp.where(is_min, val, _BIG)
         jbest = jnp.argmin(val, axis=1)
         v_loc = jnp.take_along_axis(val, jbest[:, None], axis=1)[:, 0]
@@ -439,6 +609,10 @@ def trace_rays(
         tt_new_pt = sample_b(ttf_index, jnp.round(new_x), jnp.round(new_y))
         increasing = tt_last_pt < tt_new_pt
 
+        reason = jnp.where(
+            done, reason,
+            jnp.where(plane_oob, 1, jnp.where(increasing, 2, reason)),
+        )
         stop = done | plane_oob | increasing
         add = ~stop
 
@@ -455,7 +629,8 @@ def trace_rays(
             1.6 * s
         ) ** 2
         done = stop | arrived
-        return (last_x, last_y, vec_x, vec_y, bx, by, length, done, k + 1)
+        return (last_x, last_y, vec_x, vec_y, bx, by, length, done,
+                reason, k + 1)
 
     bx = jnp.zeros((R, P), dt)
     by = jnp.zeros((R, P), dt)
@@ -464,16 +639,17 @@ def trace_rays(
     arrived0 = (src_x - rec_x) ** 2 + (src_y - rec_y) ** 2 <= (1.6 * s) ** 2
     state = (
         src_x, src_y, rec_x - src_x, rec_y - src_y, bx, by,
-        jnp.ones((R,), jnp.int32), arrived0, jnp.asarray(0),
+        jnp.ones((R,), jnp.int32), arrived0, jnp.zeros((R,), jnp.int32),
+        jnp.asarray(0),
     )
 
     def cond(state):
         done = state[7]
-        k = state[8]
+        k = state[9]
         return (~jnp.all(done)) & (k < max_steps)
 
     state = jax.lax.while_loop(cond, step, state)
-    last_x, last_y, _, _, bx, by, length, _, _ = state
+    last_x, last_y, _, _, bx, by, length, _, reason, _ = state
 
     # append the receiver (:3453-3457)
     ridx = jnp.arange(R)
@@ -481,7 +657,18 @@ def trace_rays(
     by = by.at[ridx, length].set(rec_y)
     length = length + 1
 
-    times = ray_times(model, mat_flat, bx, by, length, s, max_cross)
+    # optional Fermat relaxation recovers the h^2 chord error of long
+    # marching strides (see relax_rays)
+    if relax_iters > 0:
+        bx, by = relax_rays(
+            model, mat_flat, bx, by, length, s,
+            iters=relax_iters, max_cross=max(max_cross, 2 * k_step + 6),
+        )
+    # exact final integration; long strides need more crossings per segment
+    final_cross = max(max_cross, 2 * k_step + 6)
+    times = ray_times(model, mat_flat, bx, by, length, s, final_cross)
+    if return_reason:
+        return bx, by, length, times, reason
     return bx, by, length, times
 
 

@@ -31,7 +31,7 @@ import numpy as np
 
 from . import grid as gridlib
 from . import materials as mats
-from .ops import sweep
+from .ops import pallas_sweep, sweep
 from .ops.stencils import INF
 
 __all__ = ["SolveConfig", "solve_ttf", "solve_one"]
@@ -93,6 +93,10 @@ def _slice_model(model: gridlib.Model, bz, bx, hz, hx, factor, dtype):
         ray_curves=None,
         ray_curve_idx=None,
         has_stif=model.has_stif,
+        # patches carry the base model's (superset) column info
+        phase_info=model.phase_info,
+        group_info=model.group_info,
+        ray_info=None,
     )
 
 
@@ -127,7 +131,7 @@ def _analytic_seed(patch: gridlib.Model, base: gridlib.Model, isz, isx,
 
     v_tab = mats.interp_table(
         patch.group_tab, eff, jnp.full((Z, X), p_src, jnp.int32),
-        jnp.full((Z, X), m_src, dtype),
+        jnp.full((Z, X), m_src, dtype), info=patch.group_info,
     )
     if patch.has_stif:
         v_chr = mats.group_velocity_christoffel(
@@ -286,14 +290,41 @@ def solve_ttf(
 # --------------------------------------------------------------------- #
 
 
+def _patch_solve_batched(tt, patches, fixed, factor, model, cfg, use_pallas):
+    """Fixpoint-solve a batch of per-source patches: Pallas kernel with
+    per-source material planes, or the vmapped XLA sweep."""
+    if not use_pallas:
+        def one(tt_i, patch_i, fixed_i):
+            out, _ = sweep.solve_fixpoint(
+                tt_i, patch_i, fixed_i, rel_tol=cfg.rel_tol,
+                max_passes=cfg.patch_max_passes,
+                polish_passes=cfg.polish_passes,
+            )
+            return out
+        return jax.vmap(one)(tt, patches, fixed)
+    coeff = jax.vmap(pallas_sweep.phase_coeff_planes)(patches)  # (B,4,Z,X)
+    mats_b = jax.vmap(pallas_sweep._mats_planes)(patches, coeff)
+    mats_b = jnp.moveaxis(mats_b, 0, 1)  # (9, B, Z, X)
+    out, _ = pallas_sweep.solve_fixpoint_pallas(
+        tt, model, fixed, rel_tol=cfg.rel_tol,
+        max_passes=cfg.patch_max_passes, polish_passes=cfg.polish_passes,
+        mats=mats_b, per_source=True,
+        dnx=model.dnx / factor,
+    )
+    return out
+
+
 @partial(
     jax.jit,
-    static_argnames=("half", "factor", "seed_side", "seed_sign", "cfg"),
+    static_argnames=(
+        "half", "factor", "seed_side", "seed_sign", "cfg", "use_pallas"
+    ),
 )
-def _stage_first(model, scx, scz, half, factor, seed_side, seed_sign, cfg):
+def _stage_first(model, scx, scz, half, factor, seed_side, seed_sign, cfg,
+                 use_pallas=False):
     Z, X = model.shape
 
-    def one(cx, cz):
+    def prep(cx, cz):
         isx = jnp.round(cx / model.dnx).astype(jnp.int32)
         isz = jnp.round(cz / model.dnx).astype(jnp.int32)
         hz = min(half, (Z - 1) // 2)
@@ -306,21 +337,20 @@ def _stage_first(model, scx, scz, half, factor, seed_side, seed_sign, cfg):
             patch, model, isz, isx, (isz - bz) * factor, (isx - bx) * factor,
             seed_side, seed_sign, model.vel_map.dtype,
         )
-        tt, _ = sweep.solve_fixpoint(
-            tt, patch, fixed, rel_tol=cfg.rel_tol,
-            max_passes=cfg.patch_max_passes,
-            polish_passes=cfg.polish_passes,
-        )
-        return tt, bz, bx
+        return tt, fixed, patch, bz, bx
 
-    return jax.vmap(one)(scx, scz)
+    tt, fixed, patches, bz, bx = jax.vmap(prep)(scx, scz)
+    tt = _patch_solve_batched(tt, patches, fixed, factor, model, cfg,
+                              use_pallas)
+    return tt, bz, bx
 
 
-@partial(jax.jit, static_argnames=("half", "factor", "cfg"))
-def _stage_next(model, scx, scz, prev_tt, prev_bz, prev_bx, half, factor, cfg):
+@partial(jax.jit, static_argnames=("half", "factor", "cfg", "use_pallas"))
+def _stage_next(model, scx, scz, prev_tt, prev_bz, prev_bx, half, factor,
+                cfg, use_pallas=False):
     Z, X = model.shape
 
-    def one(cx, cz, ptt, pbz, pbx):
+    def prep(cx, cz, ptt, pbz, pbx):
         isx = jnp.round(cx / model.dnx).astype(jnp.int32)
         isz = jnp.round(cz / model.dnx).astype(jnp.int32)
         hz = min(half, (Z - 1) // 2)
@@ -331,18 +361,17 @@ def _stage_next(model, scx, scz, prev_tt, prev_bz, prev_bx, half, factor, cfg):
                              model.vel_map.dtype)
         tt, fixed = _inject(ptt, (pbz, pbx), 3, patch.shape, (bz, bx),
                             factor, model.vel_map.dtype)
-        tt, _ = sweep.solve_fixpoint(
-            tt, patch, fixed, rel_tol=cfg.rel_tol,
-            max_passes=cfg.patch_max_passes,
-            polish_passes=cfg.polish_passes,
-        )
-        return tt, bz, bx
+        return tt, fixed, patch, bz, bx
 
-    return jax.vmap(one)(scx, scz, prev_tt, prev_bz, prev_bx)
+    tt, fixed, patches, bz, bx = jax.vmap(prep)(scx, scz, prev_tt, prev_bz,
+                                                prev_bx)
+    tt = _patch_solve_batched(tt, patches, fixed, factor, model, cfg,
+                              use_pallas)
+    return tt, bz, bx
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def _stage_final(model, prev_tt, prev_bz, prev_bx, cfg):
+@partial(jax.jit, static_argnames=("cfg", "use_pallas"))
+def _stage_final(model, prev_tt, prev_bz, prev_bx, cfg, use_pallas=False):
     Z, X = model.shape
 
     def inject_one(ptt, pbz, pbx):
@@ -350,6 +379,13 @@ def _stage_final(model, prev_tt, prev_bz, prev_bx, cfg):
                        model.vel_map.dtype)
 
     tt, fixed = jax.vmap(inject_one)(prev_tt, prev_bz, prev_bx)
+    if use_pallas:
+        tt, _ = pallas_sweep.solve_fixpoint_pallas(
+            tt, model, fixed, rel_tol=cfg.rel_tol,
+            max_passes=cfg.final_max_passes,
+            polish_passes=cfg.polish_passes,
+        )
+        return tt
     tt, _ = sweep.solve_fixpoint(
         tt, model, fixed, rel_tol=cfg.rel_tol,
         max_passes=cfg.final_max_passes, polish_passes=cfg.polish_passes,
@@ -357,10 +393,31 @@ def _stage_final(model, prev_tt, prev_bz, prev_bx, cfg):
     return tt
 
 
+def _use_pallas(model) -> bool:
+    """Pallas sweeps: opt-in via ALIFMM_PALLAS=1 (needs TPU + constant
+    table columns).
+
+    Measured on the weld workload (v5e): after the constant-column
+    interp_table fast path, the XLA line-sweep scans run at ~13 us/line and
+    *beat* the kernel's chunked launches (84 ms vs 310 ms for the 31-source
+    patch stage), so the kernel stays an optional path.
+    """
+    import os
+
+    if os.environ.get("ALIFMM_PALLAS") != "1":
+        return False
+    return (
+        jax.default_backend() == "tpu"
+        and pallas_sweep.supports_model(model)
+    )
+
+
 def _staged_solve(base, scx, scz, stages, seed_side, seed_sign, cfg):
+    up = _use_pallas(base)
     (h0, f0) = stages[0]
     tt, bz, bx = _stage_first(base, scx, scz, h0, f0, seed_side,
-                              float(seed_sign), cfg)
+                              float(seed_sign), cfg, use_pallas=up)
     for (h, f) in stages[1:]:
-        tt, bz, bx = _stage_next(base, scx, scz, tt, bz, bx, h, f, cfg)
-    return _stage_final(base, tt, bz, bx, cfg)
+        tt, bz, bx = _stage_next(base, scx, scz, tt, bz, bx, h, f, cfg,
+                                 use_pallas=up)
+    return _stage_final(base, tt, bz, bx, cfg, use_pallas=up)
