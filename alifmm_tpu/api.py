@@ -236,7 +236,18 @@ class ALI_FMM:
         rec_xy = np.stack([new_tx[pair_j], new_ty[pair_j]], axis=1)
         ttf_index = np.array([rec_pos[j] for j in pair_j], dtype=np.int32)
 
-        rx, ry, lens, times = rayslib.trace_rays(
+        opts = dict(self._ray_opts)
+        # tracer="search" (default): reference-parity plane search;
+        # "descent": characteristic-descent marcher (fastest);
+        # "auto": descent + certified plane-search fallback on any ray
+        # whose integrated time exceeds the field's first arrival.
+        tracer = opts.pop("tracer", "search")
+        trace_fn = {
+            "search": rayslib.trace_rays,
+            "descent": rayslib.trace_rays_descent,
+            "auto": rayslib.trace_rays_auto,
+        }[tracer]
+        rx, ry, lens, times = trace_fn(
             model,
             ttfs,
             jnp.asarray(ttf_index),
@@ -244,7 +255,7 @@ class ALI_FMM:
             jnp.asarray(rec_xy),
             s,
             mode=self._ttf_mode,
-            **self._ray_opts,
+            **opts,
         )
         rx = np.asarray(rx, dtype=np.float64)
         ry = np.asarray(ry, dtype=np.float64)

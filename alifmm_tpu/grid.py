@@ -98,6 +98,9 @@ class Model:
     # stiffness cells.  None when not precomputed (patch models).
     ray_curves: jnp.ndarray | None
     ray_curve_idx: jnp.ndarray | None
+    # Group-direction offset vs phase angle per curve class (181, C), deg --
+    # see _ray_curve_tables; None when not precomputed.
+    ray_skew: jnp.ndarray | None
     has_stif: bool = dataclasses.field(metadata=dict(static=True))
     # Static column summaries (materials.column_info) of phase_tab /
     # group_tab / ray_curves: which material columns can be selected and
@@ -109,6 +112,8 @@ class Model:
     group_info: tuple | None = dataclasses.field(
         default=None, metadata=dict(static=True))
     ray_info: tuple | None = dataclasses.field(
+        default=None, metadata=dict(static=True))
+    skew_info: tuple | None = dataclasses.field(
         default=None, metadata=dict(static=True))
     # seed_sign replicates the travel/travel_finer_grid discrepancy in the
     # analytic source seeding: travel uses eff = (veln - angle) % 180
@@ -204,31 +209,56 @@ def _fallback_slowness_planes(veln, velpn, vel_map, stif, group_tab, has_stif):
 
 
 
-def _ray_curve_tables(velpn_np, stif_np, group_tab_np, has_stif):
-    """Host-side unified group-velocity curve table for the ray tracer.
+def _ray_curve_tables(velpn_np, stif_np, group_tab_np, phase_tab_np,
+                      has_stif):
+    """Host-side unified per-cell-class curve tables for the ray tracer.
 
-    Returns (curves (181, M+U) float64, curve_idx (Z, X) int32): table
-    material m keeps its exact reference curve; each unique stiffness row
-    gets the closed-form Christoffel group curve sampled at 1 degree.
+    Returns (curves (181, M+U), skew (181, M+U), curve_idx (Z, X) int32):
+    table material m keeps its exact reference group curve; each unique
+    stiffness row gets the closed-form Christoffel group curve sampled at
+    1 degree.  ``skew`` is the group-direction offset
+    ``atan((dv_p/dphi) / v_p)`` in degrees as a function of *phase* angle
+    phi (material frame) -- the characteristic-descent ray marcher turns a
+    travel-time gradient (phase direction) into the ray (group) direction
+    with one lookup.  Skew is scale-invariant, so vel_map drops out.
     """
     M = group_tab_np.shape[1]
     curves = [np.asarray(group_tab_np[:181], dtype=np.float64)]
+    phase_cols = [np.asarray(phase_tab_np[:181], dtype=np.float64)]
     idx = np.asarray(velpn_np, dtype=np.int32).copy()
     if has_stif:
         flat = np.asarray(stif_np, dtype=np.float64).reshape(-1, 5)
         uniq, inv = np.unique(flat, axis=0, return_inverse=True)
         ang = np.arange(181.0)
         ucurves = np.empty((181, uniq.shape[0]))
+        upcurves = np.empty((181, uniq.shape[0]))
         for u, row in enumerate(uniq):
             ucurves[:, u] = np.asarray(
                 mat.group_velocity_christoffel(
                     jnp.asarray(ang), row[0], row[1], row[2], row[3], row[4]
                 )
             )
+            upcurves[:, u] = np.asarray(
+                mat.phase_velocity_christoffel(
+                    jnp.asarray(ang), row[0], row[1], row[2], row[3], row[4]
+                )
+            )
         curves.append(ucurves)
+        phase_cols.append(upcurves)
         stif_id = (M + inv.reshape(idx.shape)).astype(np.int32)
         idx = np.where(idx != 0, idx, stif_id).astype(np.int32)
-    return np.concatenate(curves, axis=1), idx
+    group = np.concatenate(curves, axis=1)
+    phase = np.concatenate(phase_cols, axis=1)
+    # d(v_p)/d(phi) per *radian* by 180-periodic central differences of the
+    # 1-degree samples; column 0 of the table is the angle ramp (never a
+    # selectable class) -- zero its skew rather than differentiating it.
+    dv = np.empty_like(phase)
+    dv[1:180] = (phase[2:181] - phase[0:179]) * (0.5 * 180.0 / np.pi)
+    dv[0] = (phase[1] - phase[179]) * (0.5 * 180.0 / np.pi)
+    dv[180] = dv[0]
+    skew = np.degrees(np.arctan2(dv, phase))
+    skew[:, 0] = 0.0
+    return group, skew, idx
 
 
 def make_model(
@@ -260,14 +290,16 @@ def make_model(
     group_tab = jnp.asarray(group_tab, dtype=dtype)
     phase_tab = jnp.asarray(phase_tab, dtype=dtype)
     fb = _fallback_slowness_planes(veln, velpn, vel_map, stif, group_tab, has_stif)
-    curves, curve_idx = _ray_curve_tables(
-        np.asarray(velpn), np.asarray(stif), np.asarray(group_tab), has_stif
+    curves, skew, curve_idx = _ray_curve_tables(
+        np.asarray(velpn), np.asarray(stif), np.asarray(group_tab),
+        np.asarray(phase_tab), has_stif
     )
     used = np.unique(np.asarray(velpn))
     used = used[used > 0]
     phase_info = mat.column_info(phase_tab, used)
     group_info = mat.column_info(group_tab, used)
     ray_info = mat.column_info(curves, np.unique(curve_idx))
+    skew_info = mat.column_info(skew, np.unique(curve_idx))
     return Model(
         veln=veln,
         velpn=velpn,
@@ -279,10 +311,12 @@ def make_model(
         dnx=jnp.asarray(dnx, dtype=dtype),
         ray_curves=jnp.asarray(curves, dtype=dtype),
         ray_curve_idx=jnp.asarray(curve_idx),
+        ray_skew=jnp.asarray(skew, dtype=dtype),
         has_stif=has_stif,
         phase_info=phase_info,
         group_info=group_info,
         ray_info=ray_info,
+        skew_info=skew_info,
     )
 
 
@@ -315,8 +349,10 @@ def refine_model(model: Model, scale: int, dtype=jnp.float32) -> Model:
         dnx=model.dnx / scale,
         ray_curves=model.ray_curves,
         ray_curve_idx=curve_idx,
+        ray_skew=model.ray_skew,
         has_stif=model.has_stif,
         phase_info=model.phase_info,
         group_info=model.group_info,
         ray_info=model.ray_info,
+        skew_info=model.skew_info,
     )

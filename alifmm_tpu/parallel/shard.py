@@ -231,6 +231,7 @@ def solve_halo_sharded(
             dnx=dnx,
             ray_curves=None,
             ray_curve_idx=None,
+            ray_skew=None,
             has_stif=model.has_stif,
             phase_info=model.phase_info,
             group_info=model.group_info,

@@ -39,7 +39,7 @@ from . import grid as gridlib
 from . import materials as mats
 
 __all__ = ["segment_time", "segment_time_quad", "ray_times", "trace_rays",
-           "relax_rays"]
+           "trace_rays_descent", "trace_rays_auto", "relax_rays"]
 
 _BIG = 1.0e30
 
@@ -254,7 +254,7 @@ def ray_times(model, mat_flat, ray_x, ray_y, lengths, subgrid_size,
 
 def relax_rays(model, mat_flat, ray_x, ray_y, lengths, subgrid_size,
                iters: int = 2, span: float | None = None,
-               max_cross: int = 12, chunk: int = 64):
+               max_cross: int = 12, chunk: int = 64, quad: bool = False):
     """Parallel Fermat relaxation of ray polylines.
 
     Each interior vertex moves along the perpendicular of its local chord
@@ -286,6 +286,16 @@ def relax_rays(model, mat_flat, ray_x, ray_y, lengths, subgrid_size,
 
         def one(c):
             p_x, p_y, c_x, c_y, q_x, q_y = c
+            if quad:
+                # Simpson scoring (segment_time_quad): ~4x fewer gathers;
+                # candidate *ranking* is what relaxation needs, and the
+                # final times are integrated exactly afterwards.
+                return (
+                    segment_time_quad(model, mat_flat, p_x, p_y, c_x, c_y,
+                                      subgrid_size)
+                    + segment_time_quad(model, mat_flat, c_x, c_y, q_x, q_y,
+                                        subgrid_size)
+                )
             return (
                 segment_time(model, mat_flat, p_x, p_y, c_x, c_y,
                              subgrid_size, max_cross)
@@ -335,6 +345,34 @@ def relax_rays(model, mat_flat, ray_x, ray_y, lengths, subgrid_size,
     return ray_x, ray_y
 
 
+def _sample_ttf_grad(ttf, x, y, subgrid_size, mode):
+    """(T, dT/dx, dT/dy) at fine coordinates via the in-cell bilinear
+    surface (gradient of the same interpolant _sample_ttf evaluates; the
+    four corner gathers are shared).  Derivatives are per *fine* cell."""
+    Z, X = ttf.shape
+    s = 1.0 if mode == "grid" else float(subgrid_size)
+    cx = jnp.clip(x / s, 0.0, X - 1.0)
+    cy = jnp.clip(y / s, 0.0, Z - 1.0)
+    x0 = jnp.clip(jnp.floor(cx).astype(jnp.int32), 0, X - 2)
+    y0 = jnp.clip(jnp.floor(cy).astype(jnp.int32), 0, Z - 2)
+    fx = cx - x0
+    fy = cy - y0
+    flat = ttf.reshape(-1)
+    v00 = jnp.take(flat, y0 * X + x0)
+    v01 = jnp.take(flat, y0 * X + x0 + 1)
+    v10 = jnp.take(flat, (y0 + 1) * X + x0)
+    v11 = jnp.take(flat, (y0 + 1) * X + x0 + 1)
+    t = (
+        v00 * (1 - fy) * (1 - fx)
+        + v01 * (1 - fy) * fx
+        + v10 * fy * (1 - fx)
+        + v11 * fy * fx
+    )
+    gx = ((1 - fy) * (v01 - v00) + fy * (v11 - v10)) / s
+    gy = ((1 - fx) * (v10 - v00) + fx * (v11 - v01)) / s
+    return t, gx, gy
+
+
 def _sample_ttf(ttf, x, y, subgrid_size, mode):
     """Sample the receiver TTF at fine coordinates (x, y)."""
     if mode == "grid":
@@ -368,6 +406,7 @@ def _sample_ttf(ttf, x, y, subgrid_size, mode):
     static_argnames=(
         "subgrid_size", "mode", "max_steps", "max_cross", "exact_materials",
         "step_scale", "quad_vel", "return_reason", "relax_iters",
+        "cand_stride",
     ),
 )
 def trace_rays(
@@ -385,6 +424,7 @@ def trace_rays(
     quad_vel: bool = False,
     return_reason: bool = False,
     relax_iters: int = 0,
+    cand_stride: float = 1.0,
 ):
     """March rays from ``source_xy`` to ``receiver_xy`` through the
     receiver's travel-time field (find_ray, Anis_TTF_rays.py:3104-3465).
@@ -431,7 +471,12 @@ def trace_rays(
     plane_dist = 3
     sd = plane_dist * s + 1                      # search_dist (:3134)
     sd2 = (plane_dist - 1) * s + 1               # search_dist_2 (:3136)
-    K = 2 * sd + 1                               # max candidates per plane
+    # Candidate spacing along the plane: the reference evaluates every fine
+    # cell (stride 1); stride > 1 subsamples the same +-sd window (the TT
+    # along the plane is smooth, so the quadratic refinement recovers
+    # sub-stride positions) -- a proportional cut in per-step cost.
+    stride = float(cand_stride)
+    K = int(np.ceil(2 * sd / stride)) + 1        # candidates per plane
 
     mat_flat = _material_flat(model, exact_materials)
     sqrt2 = np.sqrt(2.0)
@@ -542,9 +587,11 @@ def trace_rays(
         lo = pick(lo0, lo1, lo2, lo3)
         hi = pick(hi0, hi1, hi2, hi3)
         # walk coordinate w: case 0 walks y, others walk x
-        w = lo[:, None] + jnp.arange(K, dtype=dt)[None, :]
+        w = lo[:, None] + stride * jnp.arange(K, dtype=dt)[None, :]
         w = jnp.minimum(w, hi[:, None])
-        n_k = jnp.maximum((hi - lo).astype(jnp.int32) + 1, 1)
+        n_k = jnp.clip(
+            ((hi - lo) / stride).astype(jnp.int32) + 1, 1, K
+        )
 
         px = pick(c0[:, None] + 0 * w, w, w, w)
         py = pick(w, c1[:, None] - w, c2[:, None] + 0 * w, w + c3[:, None])
@@ -598,7 +645,7 @@ def trace_rays(
         use_loc = v_loc < best_val
         best_pos = jnp.where(use_loc, p_loc, best_pos)
 
-        wq = lo + best_pos
+        wq = lo + jnp.minimum(best_pos * stride, hi - lo)
         new_x = pick(c0, wq, wq, wq)
         new_y = pick(wq, c1 - wq, c2, wq + c3)
 
@@ -670,6 +717,330 @@ def trace_rays(
     if return_reason:
         return bx, by, length, times, reason
     return bx, by, length, times
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "subgrid_size", "mode", "max_steps", "max_cross", "step_scale",
+        "relax_iters", "relax_quad", "return_reason", "score_k",
+        "score_stride",
+    ),
+)
+def trace_rays_descent(
+    model: gridlib.Model,
+    rec_ttf,
+    ttf_index,
+    source_xy,
+    receiver_xy,
+    subgrid_size: int,
+    mode: str = "interp",
+    max_steps: int | None = None,
+    max_cross: int = 16,
+    step_scale: float = 6.0,
+    relax_iters: int = 2,
+    relax_quad: bool = True,
+    return_reason: bool = False,
+    score_k: int = 0,
+    score_stride: float = 1.0,
+):
+    """Characteristic-descent ray marching: the fast TPU-native tracer.
+
+    Where the reference (and trace_rays) runs a Fermat plane search per
+    step -- scoring dozens of candidate points with segment integrations --
+    this marcher steps directly along the ray (group-velocity) direction
+    derived from the travel-time gradient:
+
+      * ``grad T`` of the receiver field is the phase-slowness vector
+        (eikonal), so the local phase direction is one bilinear-gradient
+        sample (4 gathers);
+      * the group direction follows by rotating the phase direction by the
+        precomputed material skew ``atan((dv_p/dphi)/v_p)`` (Model.ray_skew,
+        one table lookup) -- equal to zero in isotropic cells, where this
+        reduces to steepest descent (the design suggested by SURVEY.md
+        section 7 step 5).
+
+    Per ray-step cost is ~6 gathered elements vs ~200+ for the plane
+    search.  The marched polyline is then Fermat-relaxed (relax_rays) to
+    polish off the O(h^2) chord error and integrated exactly (ray_times),
+    so returned times use the same integrator as the reference
+    (time_between_points, Anis_TTF_rays.py:2835-2989).
+
+    ``score_k > 0`` adds a per-step *Fermat correction*: score_k candidate
+    points spread ``score_stride`` coarse cells apart along the
+    perpendicular of the descent step are scored with the plane search's
+    exact criterion ``rec_TTF(p) + segment_time(last -> p)`` (Simpson
+    form) and the quadratic-refined arg-min wins.  The descent direction
+    is only used to *center and orient* the tiny search window, so the
+    marcher keeps plane-search robustness at shocks -- where two arrival
+    branches meet, the blended TTF gradient is unreliable, but the scored
+    window locks onto the Fermat-optimal branch -- at ~score_k candidates
+    per step instead of the reference's ~2*(3*subgrid+1)+1 (:3133-3136).
+
+    Same signature/returns as trace_rays.  Requires a model with
+    precomputed ray_curves/ray_skew (make_model does this).
+    """
+    Z, X = model.shape
+    s = int(subgrid_size)
+    dt = model.vel_map.dtype
+    R = source_xy.shape[0]
+    ttf_index = jnp.asarray(ttf_index, jnp.int32)
+    if mode == "grid":
+        rows, cols = rec_ttf.shape[-2], rec_ttf.shape[-1]
+    else:
+        rows, cols = (Z - 1) * s + 1, (X - 1) * s + 1
+    if max_steps is None:
+        max_steps = int(-(-5 * (Z + X) // max(1.0, float(step_scale))))
+    P = max_steps + 2
+    h_far = float(step_scale) * s
+
+    veln_flat = model.veln.reshape(-1)
+    cls_flat = model.ray_curve_idx.reshape(-1)
+    mat_flat = _material_flat(model)
+
+    src_x = source_xy[:, 0].astype(dt)
+    src_y = source_xy[:, 1].astype(dt)
+    rec_x = receiver_xy[:, 0].astype(dt)
+    rec_y = receiver_xy[:, 1].astype(dt)
+
+    def _grad_one(t_idx, x, y):
+        tt = rec_ttf[t_idx] if rec_ttf.ndim == 3 else rec_ttf
+        return _sample_ttf_grad(tt, x, y, s, mode)
+
+    grad_b = jax.vmap(_grad_one)
+
+    def _ttf_one(t_idx, x, y):
+        tt = rec_ttf[t_idx] if rec_ttf.ndim == 3 else rec_ttf
+        return _sample_ttf(tt, x, y, s, mode)
+
+    def step(state):
+        last_x, last_y, bx, by, length, done, reason, k = state
+
+        _, gx, gy = grad_b(ttf_index, last_x, last_y)
+        gnorm = jnp.sqrt(gx * gx + gy * gy)
+        stalled = gnorm <= 0.0
+        gsafe = jnp.where(stalled, 1.0, gnorm)
+        nx_, ny_ = gx / gsafe, gy / gsafe         # phase direction (unit)
+
+        # material skew at the current cell: geometric group angle =
+        # phase angle - skew(phi), phi = veln - theta_p (the reference's
+        # effective-angle convention, Anis_TTF_rays.py:2950-2978)
+        xi = jnp.clip(jnp.round(last_x / s).astype(jnp.int32), 0, X - 1)
+        yi = jnp.clip(jnp.round(last_y / s).astype(jnp.int32), 0, Z - 1)
+        cell = yi * X + xi
+        veln_c = jnp.take(veln_flat, cell)
+        cls_c = jnp.take(cls_flat, cell)
+        theta_p = jnp.degrees(jnp.arctan2(gy, gx))
+        phi = veln_c - theta_p
+        d_mat = mats.interp_table(
+            model.ray_skew, phi, cls_c, jnp.asarray(1.0, dt),
+            info=model.skew_info,
+        )
+        dg = -d_mat * (np.pi / 180.0)
+        cd, sd_ = jnp.cos(dg), jnp.sin(dg)
+        # group direction; the ray marches opposite it (toward receiver)
+        dir_x = -(cd * nx_ - sd_ * ny_)
+        dir_y = -(cd * ny_ + sd_ * nx_)
+
+        # near-receiver handling like the plane search: gentle stride
+        # inside (step_scale + 3) * s, straight snap inside 4 * s
+        dx_r = rec_x - last_x
+        dy_r = rec_y - last_y
+        near2 = dx_r * dx_r + dy_r * dy_r
+        near = jnp.sqrt(near2)
+        off = jnp.where(
+            near2 < ((float(step_scale) + 3.0) * s) ** 2, float(s), h_far
+        )
+        snap = near2 < (4.0 * s) ** 2
+        nsafe = jnp.where(near == 0, 1.0, near)
+        dir_x = jnp.where(snap, dx_r / nsafe, dir_x)
+        dir_y = jnp.where(snap, dy_r / nsafe, dir_y)
+        hit = snap & (near <= off)
+
+        new_x = jnp.clip(last_x + off * dir_x, 0.0, cols - 1.0)
+        new_y = jnp.clip(last_y + off * dir_y, 0.0, rows - 1.0)
+        if score_k > 0:
+            # Fermat-scored lateral window centered on the descent point
+            half = (score_k - 1) / 2.0
+            lat = (jnp.arange(score_k, dtype=dt) - half) * (
+                float(score_stride) * s
+            )
+            px, py = -dir_y, dir_x               # unit perpendicular
+            cx = jnp.clip(
+                new_x[:, None] + lat[None, :] * px[:, None], 0.0, cols - 1.0
+            )
+            cy = jnp.clip(
+                new_y[:, None] + lat[None, :] * py[:, None], 0.0, rows - 1.0
+            )
+            t_c = jax.vmap(_ttf_one)(ttf_index, cx, cy)
+            seg = segment_time_quad(
+                model, mat_flat, last_x[:, None], last_y[:, None], cx, cy, s
+            )
+            score = t_c + seg
+            # Gate: only correct when the window min beats the descent
+            # point by more than the flat-valley noise floor (the Fermat
+            # score is 2nd-order flat across the true ray, so bilinear
+            # interpolation error shifts its arg-min by O(1) cells in
+            # smooth media -- real branch errors at shocks score orders
+            # of magnitude larger).
+            s_center = score[:, score_k // 2]
+            seg_center = seg[:, score_k // 2]
+            kb = jnp.argmin(score, axis=1)
+            km = jnp.maximum(kb - 1, 0)
+            kp = jnp.minimum(kb + 1, score_k - 1)
+            ridx0 = jnp.arange(R)
+            s0 = score[ridx0, kb]
+            sm = score[ridx0, km]
+            sp = score[ridx0, kp]
+            den = sm - 2.0 * s0 + sp
+            delta = jnp.where(
+                den > 0.0,
+                0.5 * (sm - sp) / jnp.where(den == 0.0, 1.0, den),
+                0.0,
+            )
+            woff = (kb.astype(dt) - half + jnp.clip(delta, -1.0, 1.0)) * (
+                float(score_stride) * s
+            )
+            improve = (s_center - score[ridx0, kb]) > 1e-3 * seg_center
+            woff = jnp.where(improve, woff, 0.0)
+            woff = jnp.where(snap, 0.0, woff)    # snap path stays straight
+            new_x = jnp.clip(new_x + woff * px, 0.0, cols - 1.0)
+            new_y = jnp.clip(new_y + woff * py, 0.0, rows - 1.0)
+        new_x = jnp.where(hit, rec_x, new_x)
+        new_y = jnp.where(hit, rec_y, new_y)
+
+        reason = jnp.where(done, reason, jnp.where(stalled, 1, reason))
+        stop = done | stalled
+        add = ~stop
+        ridx = jnp.arange(R)
+        bx = bx.at[ridx, length].set(jnp.where(add, new_x, bx[ridx, length]))
+        by = by.at[ridx, length].set(jnp.where(add, new_y, by[ridx, length]))
+        last_x = jnp.where(add, new_x, last_x)
+        last_y = jnp.where(add, new_y, last_y)
+        length = jnp.where(add, length + 1, length)
+
+        arrived = (last_x - rec_x) ** 2 + (last_y - rec_y) ** 2 <= (
+            1.6 * s
+        ) ** 2
+        done = stop | arrived
+        return (last_x, last_y, bx, by, length, done, reason, k + 1)
+
+    bx = jnp.zeros((R, P), dt)
+    by = jnp.zeros((R, P), dt)
+    bx = bx.at[:, 0].set(src_x)
+    by = by.at[:, 0].set(src_y)
+    arrived0 = (src_x - rec_x) ** 2 + (src_y - rec_y) ** 2 <= (1.6 * s) ** 2
+    state = (
+        src_x, src_y, bx, by, jnp.ones((R,), jnp.int32), arrived0,
+        jnp.zeros((R,), jnp.int32), jnp.asarray(0),
+    )
+
+    def cond(state):
+        done = state[5]
+        k = state[7]
+        return (~jnp.all(done)) & (k < max_steps)
+
+    state = jax.lax.while_loop(cond, step, state)
+    _, _, bx, by, length, _, reason, _ = state
+
+    ridx = jnp.arange(R)
+    bx = bx.at[ridx, length].set(rec_x)
+    by = by.at[ridx, length].set(rec_y)
+    length = length + 1
+
+    relax_cross = max(max_cross, int(2 * step_scale) + 6)
+    if relax_iters > 0:
+        bx, by = relax_rays(
+            model, mat_flat, bx, by, length, s,
+            iters=relax_iters, max_cross=relax_cross, quad=relax_quad,
+        )
+    times = ray_times(model, mat_flat, bx, by, length, s, relax_cross,
+                      chunk=min(P - 1, 256))
+    if return_reason:
+        return bx, by, length, times, reason
+    return bx, by, length, times
+
+
+def trace_rays_auto(
+    model: gridlib.Model,
+    rec_ttf,
+    ttf_index,
+    source_xy,
+    receiver_xy,
+    subgrid_size: int,
+    mode: str = "interp",
+    tol: float = 3e-3,
+    retrace_chunk: int = 128,
+    descent_kw: dict | None = None,
+    search_kw: dict | None = None,
+):
+    """Fast tracer with a certified fallback (host-level driver).
+
+    1. March every ray with the characteristic-descent tracer
+       (trace_rays_descent) -- cheap, but can lock onto the wrong arrival
+       branch where the receiver field has a shock (two branches meeting).
+    2. *Verify*: the receiver TTF sampled at the source IS the true
+       first-arrival time, and any path integral is an upper bound on it
+       (Fermat), so ``time > (1 + tol) * TTF(src)`` provably identifies
+       every suboptimal ray -- there are no false negatives.
+    3. Retrace only the flagged rays with the reference-parity plane
+       search (trace_rays), in fixed-size chunks so XLA compiles one
+       fallback program regardless of how many rays need it.
+
+    Returns (ray_x, ray_y, lengths, times) like trace_rays, padded to the
+    wider of the two tracers' step buffers.
+    """
+    descent_kw = dict(descent_kw or {})
+    search_kw = dict(search_kw or {})
+    ttf_index = jnp.asarray(ttf_index, jnp.int32)
+    s = int(subgrid_size)
+
+    bx, by, lens, times = trace_rays_descent(
+        model, rec_ttf, ttf_index, source_xy, receiver_xy, s, mode=mode,
+        **descent_kw,
+    )
+
+    def _t_src(t_idx, x, y):
+        tt = rec_ttf[t_idx] if rec_ttf.ndim == 3 else rec_ttf
+        return _sample_ttf(tt, x, y, s, mode)
+
+    t_true = jax.vmap(_t_src)(
+        ttf_index, source_xy[:, 0], source_xy[:, 1]
+    )
+    bad = np.asarray(times > (1.0 + tol) * t_true)
+    if not bad.any():
+        return bx, by, lens, times
+
+    bx = np.array(bx)
+    by = np.array(by)
+    lens = np.array(lens)
+    times = np.array(times)
+    idx = np.nonzero(bad)[0]
+    n_chunks = -(-len(idx) // retrace_chunk)
+    padded = np.resize(idx, n_chunks * retrace_chunk)
+    for c in range(n_chunks):
+        sub = padded[c * retrace_chunk : (c + 1) * retrace_chunk]
+        rbx, rby, rlens, rtimes = trace_rays(
+            model, rec_ttf, ttf_index[sub],
+            jnp.asarray(source_xy)[sub], jnp.asarray(receiver_xy)[sub], s,
+            mode=mode, **search_kw,
+        )
+        rbx = np.asarray(rbx)
+        rby = np.asarray(rby)
+        W = bx.shape[1]
+        if rbx.shape[1] > W:
+            bx = np.pad(bx, ((0, 0), (0, rbx.shape[1] - W)))
+            by = np.pad(by, ((0, 0), (0, rbx.shape[1] - W)))
+        uniq = sub if c + 1 < n_chunks else np.unique(sub)
+        pos = {int(r): k for k, r in enumerate(sub)}
+        for r in uniq:
+            k = pos[int(r)]
+            bx[r, : rbx.shape[1]] = rbx[k]
+            by[r, : rby.shape[1]] = rby[k]
+            lens[r] = rlens[k]
+            times[r] = rtimes[k]
+    return (jnp.asarray(bx), jnp.asarray(by), jnp.asarray(lens),
+            jnp.asarray(times))
 
 
 def split_at_cell_boundaries(ray_x, ray_y, max_cross_per_seg: int = 16):

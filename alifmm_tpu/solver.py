@@ -53,6 +53,18 @@ class SolveConfig:
     patch_max_passes: int = dataclasses.field(default=10, metadata=dict(static=True))
     final_max_passes: int = dataclasses.field(default=16, metadata=dict(static=True))
     polish_passes: int = dataclasses.field(default=5, metadata=dict(static=True))
+    # EXPERIMENTAL (off by default, and measured ineffective on the weld
+    # workload): multigrid initialisation of the final full-grid stage --
+    # solve a 3x-decimated model first and bilinearly prolong the result
+    # as the initial guess.  Measured on the weld: no speedup (the
+    # decimated model skips thin slow features, so the prolonged guess
+    # *undershoots* in places and the monotone phase-1 sweep cannot raise
+    # it back; only the polish phase can, and it converges slowly), and
+    # up to 7e-2 relative error vs the default path.  Kept for reference;
+    # do not enable for production solves.
+    multigrid: bool = dataclasses.field(default=False, metadata=dict(static=True))
+    mg_passes: int = dataclasses.field(default=12, metadata=dict(static=True))
+    mg_polish: int = dataclasses.field(default=2, metadata=dict(static=True))
 
 
 def _window_origin(center, half, n):
@@ -92,6 +104,7 @@ def _slice_model(model: gridlib.Model, bz, bx, hz, hx, factor, dtype):
         dnx=model.dnx / factor,
         ray_curves=None,
         ray_curve_idx=None,
+        ray_skew=None,
         has_stif=model.has_stif,
         # patches carry the base model's (superset) column info
         phase_info=model.phase_info,
@@ -370,6 +383,54 @@ def _stage_next(model, scx, scz, prev_tt, prev_bz, prev_bx, half, factor,
     return tt, bz, bx
 
 
+def _decimate_model(model: gridlib.Model, c: int) -> gridlib.Model:
+    """Stride-``c`` decimation of a model (coarse node k at fine node c*k);
+    used only to build multigrid initial guesses, so ray tables are
+    dropped."""
+    return gridlib.Model(
+        veln=model.veln[::c, ::c],
+        velpn=model.velpn[::c, ::c],
+        vel_map=model.vel_map[::c, ::c],
+        stif=model.stif[::c, ::c],
+        group_tab=model.group_tab,
+        phase_tab=model.phase_tab,
+        fallback_slowness=model.fallback_slowness[:, ::c, ::c],
+        dnx=model.dnx * c,
+        ray_curves=None,
+        ray_curve_idx=None,
+        ray_skew=None,
+        has_stif=model.has_stif,
+        phase_info=model.phase_info,
+        group_info=model.group_info,
+        ray_info=None,
+        skew_info=None,
+    )
+
+
+def _prolong3(tt_c, Z, X):
+    """Exact bilinear 3x prolongation aligned on coarse node k <-> fine node
+    3k (gather-free: nine shifted weighted combinations, interleaved)."""
+    B, Zc, Xc = tt_c.shape
+    t = jnp.concatenate([tt_c, tt_c[:, -1:, :]], 1)
+    t = jnp.concatenate([t, t[:, :, -1:]], 2)
+    rows = []
+    for rz in range(3):
+        wz = rz / 3.0
+        cols = []
+        for rx in range(3):
+            wx = rx / 3.0
+            v = (
+                (1 - wz) * (1 - wx) * t[:, :Zc, :Xc]
+                + (1 - wz) * wx * t[:, :Zc, 1 : Xc + 1]
+                + wz * (1 - wx) * t[:, 1 : Zc + 1, :Xc]
+                + wz * wx * t[:, 1 : Zc + 1, 1 : Xc + 1]
+            )
+            cols.append(v)
+        rows.append(jnp.stack(cols, -1).reshape(B, Zc, 3 * Xc))
+    up = jnp.stack(rows, 2).reshape(B, 3 * Zc, 3 * Xc)
+    return up[:, :Z, :X]
+
+
 @partial(jax.jit, static_argnames=("cfg", "use_pallas"))
 def _stage_final(model, prev_tt, prev_bz, prev_bx, cfg, use_pallas=False):
     Z, X = model.shape
@@ -379,6 +440,14 @@ def _stage_final(model, prev_tt, prev_bz, prev_bx, cfg, use_pallas=False):
                        model.vel_map.dtype)
 
     tt, fixed = jax.vmap(inject_one)(prev_tt, prev_bz, prev_bx)
+    if cfg.multigrid:
+        cm = _decimate_model(model, 3)
+        tt_c, _ = sweep.solve_fixpoint(
+            tt[:, ::3, ::3], cm, fixed[:, ::3, ::3], rel_tol=cfg.rel_tol,
+            max_passes=cfg.mg_passes, polish_passes=cfg.mg_polish,
+        )
+        up = _prolong3(tt_c, Z, X)
+        tt = jnp.where(tt < INF * 0.5, tt, up)
     if use_pallas:
         tt, _ = pallas_sweep.solve_fixpoint_pallas(
             tt, model, fixed, rel_tol=cfg.rel_tol,

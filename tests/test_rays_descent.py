@@ -1,0 +1,115 @@
+"""Characteristic-descent ray marcher (rays.trace_rays_descent).
+
+Validates the phase-to-group skew geometry on media where the exact answer
+is known analytically, then end-to-end behaviour against the reference-
+parity plane-search tracer.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from alifmm_tpu import grid as gridlib
+from alifmm_tpu import materials as mats
+from alifmm_tpu import rays as rayslib
+from alifmm_tpu import solver
+
+
+WELD_STIF = (263000, 148000, 216000, 129000, 8100)  # MPa / kg m^-3
+
+
+def _homog_stif_model(Z=61, X=61, veln_deg=0.0, dnx=1e-3):
+    veln = np.full((Z, X), veln_deg)
+    velpn = np.zeros((Z, X), dtype=int)
+    vel_map = np.ones((Z, X))
+    stif = np.zeros((Z, X, 5), dtype=np.int64)
+    stif[:, :] = WELD_STIF
+    return gridlib.make_model(veln, velpn, vel_map, stif, None, None, dnx,
+                              dtype=jnp.float64)
+
+
+def _analytic_ttf(model, rx, ry):
+    """T(p) = |p - r| / v_g(group angle) on a homogeneous stiffness model:
+    the exact first-arrival field from a point at (rx, ry) grid coords."""
+    Z, X = model.shape
+    yy, xx = np.meshgrid(np.arange(Z), np.arange(X), indexing="ij")
+    dx = xx - rx
+    dy = yy - ry
+    ang = np.degrees(np.arctan2(dy, np.where(dx == 0, 1e-12, dx)))
+    veln = np.asarray(model.veln)
+    eff = np.mod(veln - ang, 180.0)
+    v = np.asarray(
+        mats.group_velocity_christoffel(jnp.asarray(eff), *WELD_STIF)
+    )
+    dist = np.asarray(model.dnx) * np.hypot(dx, dy)
+    return dist / v
+
+
+@pytest.mark.parametrize("veln_deg", [0.0, 30.0, 75.0, 120.0])
+def test_descent_follows_straight_rays_homogeneous(veln_deg):
+    """In a homogeneous medium every ray is a straight line from source to
+    receiver.  March through the exact analytic field and check the path
+    stays on the chord -- this validates the skew sign/frame conventions
+    (a sign error bends paths by ~2x the skew angle, tens of cells)."""
+    model = _homog_stif_model(veln_deg=veln_deg)
+    rx, ry = 30, 5
+    ttf = jnp.asarray(_analytic_ttf(model, rx, ry))[None]
+
+    src = jnp.asarray([[8.0, 55.0], [50.0, 52.0], [5.0, 30.0]])
+    rec = jnp.asarray([[float(rx), float(ry)]] * 3)
+    bx, by, lens, times = rayslib.trace_rays_descent(
+        model, ttf, jnp.zeros(3, jnp.int32), src, rec, 1,
+        mode="grid", step_scale=2.0, relax_iters=0,
+    )
+    bx = np.asarray(bx)
+    by = np.asarray(by)
+    lens = np.asarray(lens)
+    for r in range(3):
+        n = lens[r]
+        p0 = np.array([bx[r, 0], by[r, 0]])
+        p1 = np.array([bx[r, n - 1], by[r, n - 1]])
+        chord = p1 - p0
+        L = np.hypot(*chord)
+        # perpendicular distance of every vertex from the chord
+        vx = bx[r, :n] - p0[0]
+        vy = by[r, :n] - p0[1]
+        perp = np.abs(chord[0] * vy - chord[1] * vx) / L
+        assert perp.max() < 1.0, (veln_deg, r, perp.max())
+
+
+def test_descent_matches_plane_search_times():
+    """On a two-material model (isotropic background + anisotropic block)
+    the descent tracer's exact-integrated times must agree with the
+    reference-parity plane-search tracer to solver accuracy."""
+    Z, X = 81, 81
+    veln = np.zeros((Z, X))
+    veln[30:60, 20:60] = 40.0
+    velpn = np.ones((Z, X), dtype=int)
+    velpn[30:60, 20:60] = 0
+    vel_map = np.where(velpn == 1, 3000.0, 1.0)
+    stif = np.zeros((Z, X, 5), dtype=np.int64)
+    stif[:, :] = WELD_STIF
+    dnx = 1e-3
+    model = gridlib.make_model(veln, velpn, vel_map, stif, None, None, dnx,
+                               dtype=jnp.float32)
+
+    scx = np.array([10.0, 70.0, 40.0]) * dnx
+    scz = np.array([75.0, 75.0, 70.0]) * dnx
+    ttfs = solver.solve_ttf(model, jnp.asarray(scx), jnp.asarray(scz), 1)
+
+    s = 9
+    src = jnp.asarray([[12.0 * s, 4.0 * s], [70.0 * s, 6.0 * s],
+                       [30.0 * s, 3.0 * s]])
+    rec = jnp.asarray([[10.0 * s, 75.0 * s], [70.0 * s, 75.0 * s],
+                       [40.0 * s, 70.0 * s]])
+    tidx = jnp.asarray([0, 1, 2], jnp.int32)
+
+    ref = rayslib.trace_rays(model, ttfs, tidx, src, rec, s, mode="interp")
+    fast = rayslib.trace_rays_auto(
+        model, ttfs, tidx, src, rec, s, mode="interp", retrace_chunk=4,
+        descent_kw=dict(step_scale=4.0, relax_iters=2),
+    )
+    t_ref = np.asarray(ref[3])
+    t_fast = np.asarray(fast[3])
+    rel = np.abs(t_fast - t_ref) / t_ref
+    assert rel.max() < 5e-3, rel
