@@ -86,7 +86,8 @@ def _band_step(band, W, axis, z_ok, edges, wok, center, model, dnx):
 
 
 def _sweep_axis(tt, model: gridlib.Model, fixed, axis: str, rev, replace,
-                scan_off=0, scan_total=None, width_off=0, width_total=None):
+                scan_off=0, scan_total=None, width_off=0, width_total=None,
+                block: int = 1):
     """One Gauss-Seidel line sweep along ``axis``.
 
     ``rev`` (traced bool): sweep direction -- realised by flipping the line
@@ -96,6 +97,11 @@ def _sweep_axis(tt, model: gridlib.Model, fixed, axis: str, rev, replace,
     ``scan_off``/``scan_total`` and ``width_off``/``width_total`` place the
     block in global grid coordinates so domain-decomposed slabs (halo
     sharding) keep exact boundary/in-bounds semantics.
+    ``block`` (static): lines per scan step.  The inner ``block`` line
+    updates are unrolled *sequentially* in the step body, so results are
+    identical to block=1 (same op order per line); the scan just issues
+    L/block dependent steps instead of L, amortising per-step dispatch
+    latency -- the dominant cost of whole-grid sweeps on TPU.
     """
     Z, X = tt.shape[-2], tt.shape[-1]
     if axis == "z":
@@ -149,8 +155,36 @@ def _sweep_axis(tt, model: gridlib.Model, fixed, axis: str, rev, replace,
         idx=idx,
     )
 
-    def step(carry, x):
-        m2, m1 = carry  # two previously updated lines in scan order, padded
+    B = max(1, int(block))
+    nb = -(-L // B)
+    pad_l = nb * B - L
+    if pad_l:
+        # Scan-order tail padding: INF field lines marked fixed (so their
+        # outputs are discarded values, never NaN via the fixed override),
+        # edge-replicated materials (well-defined arithmetic), and an
+        # out-of-range idx so every in-bounds mask of a padded row is
+        # False.  Padded rows sit *last* in scan order, so no real row
+        # ever consumes a padded row through the GS carry.
+        def pad_tail(a, mode="inf"):
+            cfg = [(0, pad_l)] + [(0, 0)] * (a.ndim - 1)
+            if mode == "edge":
+                return jnp.pad(a, cfg, mode="edge")
+            if mode == "true":
+                return jnp.pad(a, cfg, constant_values=True)
+            return jnp.pad(a, cfg, constant_values=INF)
+
+        xs = dict(
+            old0=pad_tail(xs["old0"]),
+            oldA=pad_tail(xs["oldA"]),
+            oldB=pad_tail(xs["oldB"]),
+            mats={k: pad_tail(v, "edge") for k, v in xs["mats"].items()},
+            fixed=pad_tail(xs["fixed"], "true"),
+            idx=jnp.pad(xs["idx"], (0, pad_l),
+                        constant_values=L_tot + 10),
+        )
+    xs = jax.tree.map(lambda a: a.reshape((nb, B) + a.shape[1:]), xs)
+
+    def one_line(m2, m1, x):
         # In scan order the carry lines are "behind" and oldA/oldB "ahead";
         # geometrically behind = -1/-2 for a forward sweep, +1/+2 for a
         # reverse one.  Both orderings come from the same traced values.
@@ -182,24 +216,35 @@ def _sweep_axis(tt, model: gridlib.Model, fixed, axis: str, rev, replace,
         new_p = jnp.pad(
             new, [(0, 0)] * (new.ndim - 1) + [(2, 2)], constant_values=INF
         )
-        return (m1, new_p), new
+        return new_p, new
+
+    def step(carry, x):
+        m2, m1 = carry  # two previously updated lines in scan order, padded
+        outs = []
+        for b in range(B):
+            xb = jax.tree.map(lambda a: a[b], x)
+            new_p, new = one_line(m2, m1, xb)
+            m2, m1 = m1, new_p
+            outs.append(new)
+        return (m2, m1), jnp.stack(outs, 0)
 
     (_, _), out = jax.lax.scan(step, (inf_line, inf_line), xs)
+    out = out.reshape((nb * B,) + out.shape[2:])[:L]
     out = jnp.where(rev, jnp.flip(out, axis=0), out)
     if axis == "z":
         return jnp.moveaxis(out, 0, -2)
     return jnp.moveaxis(out, 0, -1)
 
 
-def gs_pass(tt, model: gridlib.Model, fixed, replace=False):
+def gs_pass(tt, model: gridlib.Model, fixed, replace=False, block: int = 1):
     """One full Gauss-Seidel pass: down, up, right, left line sweeps."""
     replace = jnp.asarray(replace)
     f = jnp.asarray(False)
     t = jnp.asarray(True)
-    tt = _sweep_axis(tt, model, fixed, "z", f, replace)
-    tt = _sweep_axis(tt, model, fixed, "z", t, replace)
-    tt = _sweep_axis(tt, model, fixed, "x", f, replace)
-    tt = _sweep_axis(tt, model, fixed, "x", t, replace)
+    tt = _sweep_axis(tt, model, fixed, "z", f, replace, block=block)
+    tt = _sweep_axis(tt, model, fixed, "z", t, replace, block=block)
+    tt = _sweep_axis(tt, model, fixed, "x", f, replace, block=block)
+    tt = _sweep_axis(tt, model, fixed, "x", t, replace, block=block)
     return tt
 
 
@@ -218,6 +263,7 @@ def solve_fixpoint(
     max_passes: int = 50,
     min_passes: int = 2,
     polish_passes: int = 5,
+    block: int = 1,
 ):
     """Two-phase fixpoint solve (see module docstring).
 
@@ -232,7 +278,7 @@ def solve_fixpoint(
 
     def body(state):
         tt, prev, k, phase = state
-        new = gs_pass(tt, model, fixed, replace=(phase == 1))
+        new = gs_pass(tt, model, fixed, replace=(phase == 1), block=block)
         known = new < INF * 0.5
         delta = jnp.max(
             jnp.where(known | (tt < INF * 0.5), jnp.abs(new - tt), 0.0)

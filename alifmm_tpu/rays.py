@@ -215,6 +215,33 @@ def segment_time_quad(model, mat_flat, x1, y1, x2, y2, subgrid_size):
     return model.dnx * dist * acc * (1.0 / 12.0)
 
 
+def segment_time_quad3(model, mat_flat, x1, y1, x2, y2, subgrid_size):
+    """3-point Simpson variant of segment_time_quad (endpoints + midpoint,
+    weights (1, 4, 1)/6): 2/5 the material gathers.  Used for candidate
+    *ranking* in the ray march where only the relative order of nearby
+    candidates matters; exact integration always follows."""
+    Z, X = model.shape
+    s = subgrid_size
+    dx_zero = x2 == x1
+    angle = jnp.where(
+        dx_zero,
+        0.0,
+        jnp.degrees(jnp.arctan((y2 - y1) / jnp.where(dx_zero, 1.0, x2 - x1))),
+    )
+    dist = jnp.sqrt((x2 - x1) ** 2 + (y2 - y1) ** 2) / s
+
+    def slow_at(xm, ym):
+        xi = jnp.clip(jnp.round(xm / s).astype(jnp.int32), 0, X - 1)
+        yi = jnp.clip(jnp.round(ym / s).astype(jnp.int32), 0, Z - 1)
+        row = jnp.take(mat_flat, yi * X + xi, axis=0)
+        eff = jnp.mod(row[..., 0] - angle, 180.0)
+        return 1.0 / _group_velocity_cell(model, row, eff)
+
+    acc = slow_at(x1, y1) + slow_at(x2, y2)
+    acc = acc + 4.0 * slow_at((x1 + x2) * 0.5, (y1 + y2) * 0.5)
+    return model.dnx * dist * acc * (1.0 / 6.0)
+
+
 def ray_times(model, mat_flat, ray_x, ray_y, lengths, subgrid_size,
               max_cross: int = 16, chunk: int = 64):
     """Travel time along padded ray polylines (ray_time,
@@ -406,7 +433,7 @@ def _sample_ttf(ttf, x, y, subgrid_size, mode):
     static_argnames=(
         "subgrid_size", "mode", "max_steps", "max_cross", "exact_materials",
         "step_scale", "quad_vel", "return_reason", "relax_iters",
-        "cand_stride",
+        "cand_stride", "relax_quad",
     ),
 )
 def trace_rays(
@@ -425,6 +452,7 @@ def trace_rays(
     return_reason: bool = False,
     relax_iters: int = 0,
     cand_stride: float = 1.0,
+    relax_quad: bool = True,
 ):
     """March rays from ``source_xy`` to ``receiver_xy`` through the
     receiver's travel-time field (find_ray, Anis_TTF_rays.py:3104-3465).
@@ -495,11 +523,43 @@ def trace_rays(
     rec_x = receiver_xy[:, 0].astype(dt)
     rec_y = receiver_xy[:, 1].astype(dt)
 
-    def _sample_one(t_idx, x, y):
-        tt = rec_ttf[t_idx] if rec_ttf.ndim == 3 else rec_ttf
-        return _sample_ttf(tt, x, y, s, mode)
+    # Batched TTF sampling as ONE flat gather over all rays x candidates.
+    # The naive vmap(lambda i, x, y: sample(rec_ttf[i], x, y)) form lowers
+    # to a per-ray dynamic-slice + gather chain that dominated the whole
+    # march (~85% measured on the weld); precomputing the per-ray field
+    # offset and gathering from the flattened (n_ttf*Z*X,) array turns
+    # each bilinear corner into a single large gather.
+    TZ, TX = rec_ttf.shape[-2], rec_ttf.shape[-1]
+    flat_all = rec_ttf.reshape(-1)
+    t_off = (
+        ttf_index.astype(jnp.int32) * (TZ * TX)
+        if rec_ttf.ndim == 3
+        else jnp.zeros(ttf_index.shape, jnp.int32)
+    )
 
-    sample_b = jax.vmap(_sample_one)
+    def sample_b(_t_idx, x, y):
+        off = t_off.reshape(t_off.shape + (1,) * (x.ndim - 1))
+        if mode == "grid":
+            xi = jnp.clip(jnp.round(x).astype(jnp.int32), 0, TX - 1)
+            yi = jnp.clip(jnp.round(y).astype(jnp.int32), 0, TZ - 1)
+            return jnp.take(flat_all, off + yi * TX + xi)
+        cx = jnp.clip(x / s, 0.0, TX - 1.0)
+        cy = jnp.clip(y / s, 0.0, TZ - 1.0)
+        x0 = jnp.clip(jnp.floor(cx).astype(jnp.int32), 0, TX - 2)
+        y0 = jnp.clip(jnp.floor(cy).astype(jnp.int32), 0, TZ - 2)
+        fx = (cx - x0).astype(dt)
+        fy = (cy - y0).astype(dt)
+        base = off + y0 * TX + x0
+        v00 = jnp.take(flat_all, base)
+        v01 = jnp.take(flat_all, base + 1)
+        v10 = jnp.take(flat_all, base + TX)
+        v11 = jnp.take(flat_all, base + TX + 1)
+        return (
+            v00 * (1 - fy) * (1 - fx)
+            + v01 * (1 - fy) * fx
+            + v10 * fy * (1 - fx)
+            + v11 * fy * fx
+        )
 
     def step(state):
         (last_x, last_y, vec_x, vec_y, bx, by, length, done, reason,
@@ -599,7 +659,8 @@ def trace_rays(
         ridx = jnp.arange(R)
         tt_plane = sample_b(ttf_index, px, py)
         if quad_vel:
-            seg = segment_time_quad(
+            quad_fn = segment_time_quad3 if quad_vel == 3 else segment_time_quad
+            seg = quad_fn(
                 model, mat_flat, last_x[:, None], last_y[:, None], px, py, s
             )
         else:
@@ -710,6 +771,7 @@ def trace_rays(
         bx, by = relax_rays(
             model, mat_flat, bx, by, length, s,
             iters=relax_iters, max_cross=max(max_cross, 2 * k_step + 6),
+            quad=relax_quad,
         )
     # exact final integration; long strides need more crossings per segment
     final_cross = max(max_cross, 2 * k_step + 6)
@@ -803,15 +865,52 @@ def trace_rays_descent(
     rec_x = receiver_xy[:, 0].astype(dt)
     rec_y = receiver_xy[:, 1].astype(dt)
 
-    def _grad_one(t_idx, x, y):
-        tt = rec_ttf[t_idx] if rec_ttf.ndim == 3 else rec_ttf
-        return _sample_ttf_grad(tt, x, y, s, mode)
+    # Flat-gather TTF samplers (see trace_rays sample_b: the vmapped
+    # per-ray dynamic-slice form is ~7x slower on TPU).
+    TZ, TX = rec_ttf.shape[-2], rec_ttf.shape[-1]
+    flat_all = rec_ttf.reshape(-1)
+    t_off = (
+        ttf_index.astype(jnp.int32) * (TZ * TX)
+        if rec_ttf.ndim == 3
+        else jnp.zeros(ttf_index.shape, jnp.int32)
+    )
+    s_grid = 1.0 if mode == "grid" else float(s)
 
-    grad_b = jax.vmap(_grad_one)
+    def _corners(x, y):
+        off = t_off.reshape(t_off.shape + (1,) * (x.ndim - 1))
+        cx = jnp.clip(x / s_grid, 0.0, TX - 1.0)
+        cy = jnp.clip(y / s_grid, 0.0, TZ - 1.0)
+        x0 = jnp.clip(jnp.floor(cx).astype(jnp.int32), 0, TX - 2)
+        y0 = jnp.clip(jnp.floor(cy).astype(jnp.int32), 0, TZ - 2)
+        fx = (cx - x0).astype(dt)
+        fy = (cy - y0).astype(dt)
+        base = off + y0 * TX + x0
+        v00 = jnp.take(flat_all, base)
+        v01 = jnp.take(flat_all, base + 1)
+        v10 = jnp.take(flat_all, base + TX)
+        v11 = jnp.take(flat_all, base + TX + 1)
+        return v00, v01, v10, v11, fx, fy
 
-    def _ttf_one(t_idx, x, y):
-        tt = rec_ttf[t_idx] if rec_ttf.ndim == 3 else rec_ttf
-        return _sample_ttf(tt, x, y, s, mode)
+    def grad_b(_t_idx, x, y):
+        v00, v01, v10, v11, fx, fy = _corners(x, y)
+        t = (
+            v00 * (1 - fy) * (1 - fx)
+            + v01 * (1 - fy) * fx
+            + v10 * fy * (1 - fx)
+            + v11 * fy * fx
+        )
+        gx = ((1 - fy) * (v01 - v00) + fy * (v11 - v10)) / s_grid
+        gy = ((1 - fx) * (v10 - v00) + fx * (v11 - v01)) / s_grid
+        return t, gx, gy
+
+    def _ttf_b(x, y):
+        v00, v01, v10, v11, fx, fy = _corners(x, y)
+        return (
+            v00 * (1 - fy) * (1 - fx)
+            + v01 * (1 - fy) * fx
+            + v10 * fy * (1 - fx)
+            + v11 * fy * fx
+        )
 
     def step(state):
         last_x, last_y, bx, by, length, done, reason, k = state
@@ -872,7 +971,7 @@ def trace_rays_descent(
             cy = jnp.clip(
                 new_y[:, None] + lat[None, :] * py[:, None], 0.0, rows - 1.0
             )
-            t_c = jax.vmap(_ttf_one)(ttf_index, cx, cy)
+            t_c = _ttf_b(cx, cy)
             seg = segment_time_quad(
                 model, mat_flat, last_x[:, None], last_y[:, None], cx, cy, s
             )

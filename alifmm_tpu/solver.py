@@ -65,6 +65,12 @@ class SolveConfig:
     multigrid: bool = dataclasses.field(default=False, metadata=dict(static=True))
     mg_passes: int = dataclasses.field(default=12, metadata=dict(static=True))
     mg_polish: int = dataclasses.field(default=2, metadata=dict(static=True))
+    # Lines per lax.scan step in the GS sweeps (ops/sweep._sweep_axis):
+    # the inner lines are updated sequentially (unrolled) so results are
+    # identical to block=1; larger blocks amortise per-step dispatch
+    # latency, the dominant cost of the final full-grid stage.
+    sweep_block: int = dataclasses.field(default=8, metadata=dict(static=True))
+    patch_block: int = dataclasses.field(default=4, metadata=dict(static=True))
 
 
 def _window_origin(center, half, n):
@@ -312,6 +318,7 @@ def _patch_solve_batched(tt, patches, fixed, factor, model, cfg, use_pallas):
                 tt_i, patch_i, fixed_i, rel_tol=cfg.rel_tol,
                 max_passes=cfg.patch_max_passes,
                 polish_passes=cfg.polish_passes,
+                block=cfg.patch_block,
             )
             return out
         return jax.vmap(one)(tt, patches, fixed)
@@ -458,6 +465,7 @@ def _stage_final(model, prev_tt, prev_bz, prev_bx, cfg, use_pallas=False):
     tt, _ = sweep.solve_fixpoint(
         tt, model, fixed, rel_tol=cfg.rel_tol,
         max_passes=cfg.final_max_passes, polish_passes=cfg.polish_passes,
+        block=cfg.sweep_block,
     )
     return tt
 

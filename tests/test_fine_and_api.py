@@ -142,6 +142,42 @@ def test_find_all_ttf_rays(small_setup):
     assert fm.ray_path(1, 0) == (None, None)
 
 
+def test_ray_tracer_dispatch(small_setup):
+    """ray_opts tracer=descent/auto select the fast marchers.  Truth on a
+    constant-velocity model is the straight-line time; every tracer's
+    integral is an upper bound on it (Fermat), so each must land within
+    its path-quality tolerance *above* truth.  (The plane search is not a
+    valid oracle here: on a grid this coarse its 1-cell path jitter costs
+    ~2-3%, more than the descent marcher's chord error.)"""
+    veln, velpn, vel_map, scx, scz, dnx = small_setup
+    v0 = 3000.0
+    iu = np.triu_indices(3, k=1)
+
+    def truth():
+        d = np.zeros((3, 3))
+        for i in range(3):
+            for j in range(3):
+                d[i, j] = dnx * np.hypot(
+                    round(scx[i] / dnx) - round(scx[j] / dnx),
+                    round(scz[i] / dnx) - round(scz[j] / dnx),
+                )
+        return d / v0
+
+    t0 = truth()
+    for tracer, tol in (("search", 4e-2), ("descent", 4e-2), ("auto", 4e-2)):
+        fm = ALI_FMM(veln, velpn, vel_map, scx, scz, dnx=dnx,
+                     dtype=jnp.float64,
+                     ray_opts={} if tracer == "search"
+                     else dict(tracer=tracer))
+        times = fm.find_all_TTF_rays(veln, velpn, vel_map, subgrid_size=9)
+        rel = (times[iu] - t0[iu]) / t0[iu]
+        assert rel.max() < tol, (tracer, rel)
+        # upper bound: integrated times can exceed truth but a tracer
+        # materially *below* the straight-line time means a broken
+        # integrator (small negative slack allows f64 interp rounding)
+        assert rel.min() > -1e-3, (tracer, rel)
+
+
 def test_find_all_ttf_rays_parallel_guard(small_setup):
     veln, velpn, vel_map, scx, scz, dnx = small_setup
     fm = ALI_FMM(veln, velpn, vel_map, scx, scz, dnx=dnx, dtype=jnp.float64)
