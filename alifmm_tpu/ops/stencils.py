@@ -155,6 +155,29 @@ def _wavefront_angle_dist(xA, zA, xB, zB, xC, zC, yA, yB, yC):
     return angle, dist
 
 
+def _wavefront_vec_dist(xA, zA, xB, zB, xC, zC, yA, yB, yC):
+    """_wavefront_angle_dist with the arctan deferred: returns
+    (dx, dz, zero_angle, dist) where the wavefront-normal angle is
+    ``mod(degrees(arctan(dz/dx)) + 90, 180)`` (0 where zero_angle) --
+    computed ONCE on the *selected* stencil by the caller instead of per
+    stencil (16 arctans -> 1 per update point; bit-identical values since
+    the same dz/dx reaches the same formula)."""
+    denom = yC - yA
+    degen = denom == 0.0
+    denom_safe = jnp.where(degen, 1.0, denom)
+    a = (yB - yA) / denom_safe
+    xpos = (1.0 - a) * xA + a * xC
+    zpos = (1.0 - a) * zA + a * zC
+    dx = xB - xpos
+    dz = zB - zpos
+    zero_ang = degen | (dx == 0.0)
+    norm = jnp.sqrt(dx * dx + dz * dz)
+    norm_safe = jnp.where(norm == 0.0, 1.0, norm)
+    dist = jnp.abs(dz * xB - dx * zB) / norm_safe
+    dist = jnp.where(degen | (norm == 0.0), -1.0, dist)
+    return dx, dz, zero_ang, dist
+
+
 def _ali_candidate(nbr, known, edges):
     """Best ALI stencil for every point: returns (angle, dist, wtime,
     inputs_max) with dist = -1 where no stencil is usable (-> fouds
@@ -165,7 +188,9 @@ def _ali_candidate(nbr, known, edges):
     (first stencil wins ties -- identical to the reference's sequential
     if-chains and to argmin-over-stack semantics) so no stack / argmin /
     gather appears: the whole selection fuses into predicated vector math,
-    which also keeps it legal inside a Pallas kernel.
+    which also keeps it legal inside a Pallas kernel.  The wavefront
+    normal is carried as a (dx, dz) vector through the selection and the
+    arctan runs once at the end (_wavefront_vec_dist).
     """
     # ---- square stencils --------------------------------------------------
     sq_min_diff = None
@@ -180,17 +205,19 @@ def _ali_candidate(nbr, known, edges):
         zC = jnp.where(swap, Q[0], P[0]).astype(tA.dtype)
         yB = jnp.where(swap, tP, tQ)
         yC = jnp.where(swap, tQ, tP)
-        ang, dst = _wavefront_angle_dist(
+        vdx, vdz, zro, dst = _wavefront_vec_dist(
             float(A[1]), float(A[0]), xB, zB, xC, zC, tA, yB, yC
         )
         mx = jnp.maximum(tA, jnp.maximum(tP, tQ))
         if sq_min_diff is None:
-            sq_min_diff, sq_angle, sq_dist, sq_wtime, sq_max = (
-                diff, ang, dst, yB, mx
+            sq_min_diff, sq_dx, sq_dz, sq_zero, sq_dist, sq_wtime, sq_max = (
+                diff, vdx, vdz, zro, dst, yB, mx
             )
         else:
             better = diff < sq_min_diff
-            sq_angle = jnp.where(better, ang, sq_angle)
+            sq_dx = jnp.where(better, vdx, sq_dx)
+            sq_dz = jnp.where(better, vdz, sq_dz)
+            sq_zero = jnp.where(better, zro, sq_zero)
             sq_dist = jnp.where(better, dst, sq_dist)
             sq_wtime = jnp.where(better, yB, sq_wtime)
             sq_max = jnp.where(better, mx, sq_max)
@@ -213,13 +240,16 @@ def _ali_candidate(nbr, known, edges):
         zC = jnp.where(m_branch, D[0], M[0]).astype(tF.dtype)
         yB = jnp.where(m_branch, tM, tD)
         yC = jnp.where(m_branch, tD, tM)
-        ang, dst = _wavefront_angle_dist(
+        vdx, vdz, zro, dst = _wavefront_vec_dist(
             float(F[1]), float(F[0]), xB, zB, xC, zC, tF, yB, yC
         )
         # Boundary degenerate case only taken in the M-branch
-        # (Anis_TTF_rays.py:1264-1268 etc.).
+        # (Anis_TTF_rays.py:1264-1268 etc.): fixed angle, dist = 1 --
+        # carried as an angle override so the deferred arctan still
+        # reproduces the constant exactly.
         on_edge = m_branch & edges[spec["edge"]]
-        ang = jnp.where(on_edge, spec["eang"], ang)
+        ovr = on_edge
+        oang = jnp.where(on_edge, spec["eang"], 0.0)
         dst = jnp.where(on_edge, 1.0, dst)
         if spec["wt"] == "D":
             wt = tD
@@ -227,12 +257,17 @@ def _ali_candidate(nbr, known, edges):
             wt = yB
         mx = jnp.maximum(tM, tD)  # tF < min(tM, tD) when valid
         if tri_min_diff is None:
-            tri_min_diff, tri_angle, tri_dist, tri_wtime, tri_max = (
-                diff, ang, dst, wt, mx
+            (tri_min_diff, tri_dx, tri_dz, tri_zero, tri_ovr, tri_oang,
+             tri_dist, tri_wtime, tri_max) = (
+                diff, vdx, vdz, zro, ovr, oang, dst, wt, mx
             )
         else:
             better = diff < tri_min_diff
-            tri_angle = jnp.where(better, ang, tri_angle)
+            tri_dx = jnp.where(better, vdx, tri_dx)
+            tri_dz = jnp.where(better, vdz, tri_dz)
+            tri_zero = jnp.where(better, zro, tri_zero)
+            tri_ovr = jnp.where(better, ovr, tri_ovr)
+            tri_oang = jnp.where(better, oang, tri_oang)
             tri_dist = jnp.where(better, dst, tri_dist)
             tri_wtime = jnp.where(better, wt, tri_wtime)
             tri_max = jnp.where(better, mx, tri_max)
@@ -245,7 +280,17 @@ def _ali_candidate(nbr, known, edges):
     carry_diff = jnp.where(sq_any, sq_min_diff, 1.0e6)
     use_tri = try_tri & tri_any & (tri_min_diff < carry_diff)
 
-    angle = jnp.where(use_tri, tri_angle, sq_angle)
+    sel_dx = jnp.where(use_tri, tri_dx, sq_dx)
+    sel_dz = jnp.where(use_tri, tri_dz, sq_dz)
+    sel_zero = jnp.where(use_tri, tri_zero, sq_zero)
+    sel_ovr = use_tri & tri_ovr
+    sel_oang = jnp.where(use_tri, tri_oang, 0.0)
+    # The ONE arctan of the update (was one per stencil): same formula /
+    # operand values as _wavefront_angle_dist, so angles are bit-identical.
+    dx_safe = jnp.where(sel_zero, 1.0, sel_dx)
+    angle = jnp.mod(jnp.degrees(_ATAN[0](sel_dz / dx_safe)) + 90.0, 180.0)
+    angle = jnp.where(sel_zero, 0.0, angle)
+    angle = jnp.where(sel_ovr, sel_oang, angle)
     dist = jnp.where(use_tri, tri_dist, jnp.where(sq_any, sq_dist, -1.0))
     wtime = jnp.where(use_tri, tri_wtime, sq_wtime)
     inputs_max = jnp.where(use_tri, tri_max, sq_max)
