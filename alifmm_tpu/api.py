@@ -123,9 +123,13 @@ class ALI_FMM:
 
         self._dtype = dtype
         self._ttf_mode = ttf_mode
-        # extra rays.trace_rays knobs (step_scale / quad_vel / relax_iters /
-        # max_steps / max_cross) -- speed/accuracy trade, default reference
-        # geometry
+        # extra ray-tracer knobs: "tracer" picks the marcher ("search" |
+        # "descent" | "auto"); the rest are that tracer's keyword args
+        # (see _route_ray_opts: flat knobs reach whichever tracer accepts
+        # them -- e.g. step_scale/relax_iters everywhere, quad_vel/
+        # cand_stride/exact_materials only "search", score_k/score_stride
+        # only "descent", tol/retrace_chunk/descent_kw/search_kw only
+        # "auto") -- speed/accuracy trade, default reference geometry
         self._ray_opts = dict(ray_opts or {})
         self._cfg = solverlib.SolveConfig()
 
@@ -203,6 +207,72 @@ class ALI_FMM:
     # ------------------------------------------------------------------ #
     # travel-time fields + rays
     # ------------------------------------------------------------------ #
+    @staticmethod
+    def _route_ray_opts(tracer, trace_fn, opts):
+        """Filter/route the flat ray_opts knobs to the selected tracer.
+
+        For tracer="auto" the flat knobs are placed into descent_kw /
+        search_kw (whichever of the two tracers accepts them); explicit
+        descent_kw/search_kw entries win over routed flat knobs.  Knobs
+        that only a *different* tracer accepts are dropped with a warning;
+        keys no tracer accepts raise TypeError.
+        """
+        import inspect
+        import warnings
+
+        _POSITIONAL = {
+            "model", "rec_ttf", "ttf_index", "source_xy", "receiver_xy",
+            "subgrid_size", "mode",
+        }
+
+        def params(fn):
+            return set(inspect.signature(fn).parameters) - _POSITIONAL
+
+        d_params = params(rayslib.trace_rays_descent)
+        s_params = params(rayslib.trace_rays)
+        any_params = d_params | s_params | params(rayslib.trace_rays_auto)
+        unknown = [k for k in opts if k not in any_params]
+        if unknown:
+            raise TypeError(f"unknown ray_opts key(s): {unknown}")
+
+        if tracer == "auto":
+            routed = {
+                k: opts[k] for k in list(opts)
+                if k in params(rayslib.trace_rays_auto)
+            }
+            descent_kw = dict(routed.pop("descent_kw", None) or {})
+            search_kw = dict(routed.pop("search_kw", None) or {})
+            dropped = []
+            for k, v in opts.items():
+                if k in params(rayslib.trace_rays_auto):
+                    continue
+                hit = False
+                if k in d_params:
+                    descent_kw.setdefault(k, v)
+                    hit = True
+                if k in s_params:
+                    search_kw.setdefault(k, v)
+                    hit = True
+                if not hit:
+                    dropped.append(k)
+            if dropped:
+                warnings.warn(
+                    f"ray_opts {dropped} not accepted by tracer='auto'; "
+                    "dropped", stacklevel=3,
+                )
+            routed["descent_kw"] = descent_kw
+            routed["search_kw"] = search_kw
+            return routed
+
+        accepted = params(trace_fn)
+        dropped = [k for k in opts if k not in accepted]
+        if dropped:
+            warnings.warn(
+                f"ray_opts {dropped} not accepted by tracer='{tracer}'; "
+                "dropped", stacklevel=3,
+            )
+        return {k: v for k, v in opts.items() if k in accepted}
+
     def _solve_rays(self, veln, velpn, vel_map, stif_den, subgrid_size,
                     trans_pairs, save_rays):
         model = self._make_model(veln, velpn, vel_map, stif_den)
@@ -236,17 +306,21 @@ class ALI_FMM:
         rec_xy = np.stack([new_tx[pair_j], new_ty[pair_j]], axis=1)
         ttf_index = np.array([rec_pos[j] for j in pair_j], dtype=np.int32)
 
-        opts = dict(self._ray_opts)
         # tracer="search" (default): reference-parity plane search;
         # "descent": characteristic-descent marcher (fastest);
         # "auto": descent + certified plane-search fallback on any ray
         # whose integrated time exceeds the field's first arrival.
+        # Flat knobs are routed to whichever tracer accepts them ("auto":
+        # into descent_kw/search_kw); knobs only other tracers accept are
+        # dropped with a warning, unknown keys raise.
+        opts = dict(self._ray_opts)
         tracer = opts.pop("tracer", "search")
         trace_fn = {
             "search": rayslib.trace_rays,
             "descent": rayslib.trace_rays_descent,
             "auto": rayslib.trace_rays_auto,
         }[tracer]
+        opts = self._route_ray_opts(tracer, trace_fn, opts)
         rx, ry, lens, times = trace_fn(
             model,
             ttfs,

@@ -209,6 +209,96 @@ def _fallback_slowness_planes(veln, velpn, vel_map, stif, group_tab, has_stif):
 
 
 
+# --------------------------------------------------------------------- #
+# Host-side numpy mirrors of the L0 physics (materials.py) for model
+# precomputation.  make_model runs on the host; evaluating these with jnp
+# would dispatch ~100 primitives op-by-op to the accelerator (seconds of
+# tunnel latency each on a remote TPU) or pay a jit compile for what is a
+# one-off O(grid) precompute.  Formulas are identical to
+# materials.group/phase_velocity_christoffel (float64 here, cast by the
+# caller).
+# --------------------------------------------------------------------- #
+
+
+def _np_group_velocity_christoffel(angle_deg, c22, c23, c33, c44, rho,
+                                   vel_scale=1.0):
+    angle = np.mod(angle_deg, 180.0)
+    m90 = np.mod(angle, 90.0)
+    near_axis = (m90 < 0.01) | (m90 > 90.0 - 0.01)
+    near_90 = np.abs(angle - 90.0) < 1.0
+    lam_axis = np.where(near_90, c33, c22)
+    v_axis = 1000.0 * vel_scale * np.sqrt(lam_axis / rho)
+    ang_safe = np.where(near_axis, 45.0, angle)
+    tan_ang = np.tan(np.radians(ang_safe))
+    A = c22 + c33 - 2.0 * c44
+    B = (c23 + c44) * (tan_ang - 1.0 / tan_ang)
+    C = c22 - c33
+    disc = np.sqrt(np.maximum(B * B + A * A - C * C, 0.0))
+    denom = C - A
+    denom = np.where(denom == 0.0, np.finfo(np.float64).tiny, denom)
+    sign = np.where(ang_safe < 90.0, -1.0, 1.0)
+    phase_ang = np.mod(np.arctan((-B + sign * disc) / denom), np.pi)
+    lam = 0.5 * (
+        np.cos(2.0 * phase_ang) * (c22 - c44)
+        + np.sin(2.0 * phase_ang) * (c23 + c44) * tan_ang
+        + c22
+        + c44
+    )
+    v_gen = (
+        1000.0
+        * vel_scale
+        * np.sqrt(np.maximum(lam, 0.0) / rho)
+        / np.cos(np.radians(ang_safe) - phase_ang)
+    )
+    return np.where(near_axis, v_axis, v_gen)
+
+
+def _np_phase_velocity_christoffel(angle_deg, c22, c23, c33, c44, rho,
+                                   vel_scale=1.0):
+    ca = np.cos(np.radians(angle_deg))
+    sa = np.sin(np.radians(angle_deg))
+    A = ca * ca * c22 + sa * sa * c44
+    B = ca * sa * (c23 + c44)
+    C = ca * ca * c44 + sa * sa * c33
+    lam = 0.5 * (A + C + np.sqrt((A - C) ** 2 + 4.0 * B * B))
+    return 1000.0 * vel_scale * np.sqrt(lam / rho)
+
+
+def _np_interp_table(table, eff, mat_idx, vel_map):
+    """Numpy mirror of materials.interp_table_gather
+    (Anis_TTF_rays.py:288-291)."""
+    eff = np.mod(eff, 180.0)
+    a1 = np.clip(np.floor(eff).astype(np.int64), 0, 179)
+    a2 = np.mod(a1 + 1, 180)
+    w = eff - a1
+    m = np.asarray(mat_idx, dtype=np.int64)
+    v1 = table[a1, m]
+    v2 = table[a2, m]
+    return vel_map * ((1.0 - w) * v1 + w * v2)
+
+
+def _np_fallback_slowness_planes(veln, velpn, vel_map, stif, group_tab,
+                                 has_stif):
+    """Numpy mirror of _fallback_slowness_planes for host precompute."""
+    effs = [
+        np.mod(0.0 - veln, 180.0),
+        np.round(np.mod(45.0 - veln, 180.0)),
+        np.mod(-27.0 - veln, 180.0),
+        np.mod(27.0 - veln, 180.0),
+    ]
+    planes = []
+    for eff in effs:
+        v = _np_interp_table(group_tab, eff, velpn, vel_map)
+        if has_stif:
+            v_chr = _np_group_velocity_christoffel(
+                eff, stif[..., 0], stif[..., 1], stif[..., 2],
+                stif[..., 3], stif[..., 4], vel_map,
+            )
+            v = np.where(velpn != 0, v, v_chr)
+        planes.append(1.0 / v)
+    return np.stack(planes)
+
+
 def _ray_curve_tables(velpn_np, stif_np, group_tab_np, phase_tab_np,
                       has_stif):
     """Host-side unified per-cell-class curve tables for the ray tracer.
@@ -229,20 +319,15 @@ def _ray_curve_tables(velpn_np, stif_np, group_tab_np, phase_tab_np,
     if has_stif:
         flat = np.asarray(stif_np, dtype=np.float64).reshape(-1, 5)
         uniq, inv = np.unique(flat, axis=0, return_inverse=True)
-        ang = np.arange(181.0)
-        ucurves = np.empty((181, uniq.shape[0]))
-        upcurves = np.empty((181, uniq.shape[0]))
-        for u, row in enumerate(uniq):
-            ucurves[:, u] = np.asarray(
-                mat.group_velocity_christoffel(
-                    jnp.asarray(ang), row[0], row[1], row[2], row[3], row[4]
-                )
-            )
-            upcurves[:, u] = np.asarray(
-                mat.phase_velocity_christoffel(
-                    jnp.asarray(ang), row[0], row[1], row[2], row[3], row[4]
-                )
-            )
+        ang = np.arange(181.0)[:, None]
+        ucurves = _np_group_velocity_christoffel(
+            ang, uniq[None, :, 0], uniq[None, :, 1], uniq[None, :, 2],
+            uniq[None, :, 3], uniq[None, :, 4],
+        )
+        upcurves = _np_phase_velocity_christoffel(
+            ang, uniq[None, :, 0], uniq[None, :, 1], uniq[None, :, 2],
+            uniq[None, :, 3], uniq[None, :, 4],
+        )
         curves.append(ucurves)
         phase_cols.append(upcurves)
         stif_id = (M + inv.reshape(idx.shape)).astype(np.int32)
@@ -271,43 +356,51 @@ def make_model(
     dnx=1e-3,
     dtype=jnp.float32,
 ) -> Model:
-    """Assemble a Model (with precomputed fallback-slowness planes)."""
-    veln = jnp.asarray(veln, dtype=dtype)
-    velpn = jnp.asarray(velpn, dtype=jnp.int32)
+    """Assemble a Model (with precomputed fallback-slowness planes).
+
+    All precomputation (fallback slownesses, ray curve/skew tables) runs
+    host-side in numpy -- a one-off O(grid) job that must not dispatch
+    op-by-op to a (possibly remote) accelerator or pay a jit compile --
+    and only the finished planes are transferred to the device.
+    """
+    npdt = np.dtype(dtype)
+    veln_np = np.asarray(veln).astype(npdt)
+    velpn_np = np.asarray(velpn).astype(np.int32)
     if vel_map is None:
-        vel_map = jnp.ones(veln.shape, dtype=dtype)
+        vel_map_np = np.ones(veln_np.shape, dtype=npdt)
     else:
-        vel_map = jnp.asarray(vel_map, dtype=dtype)
+        vel_map_np = np.asarray(vel_map).astype(npdt)
     has_stif = stif_den is not None
     if has_stif:
-        stif = jnp.asarray(stif_den, dtype=dtype)
+        stif_np = np.asarray(stif_den).astype(npdt)
     else:
-        stif = jnp.zeros(veln.shape + (5,), dtype=dtype)
+        stif_np = np.zeros(veln_np.shape + (5,), dtype=npdt)
     if group_tab is None or phase_tab is None:
         g, p = mat.default_tables()
         group_tab = g if group_tab is None else group_tab
         phase_tab = p if phase_tab is None else phase_tab
-    group_tab = jnp.asarray(group_tab, dtype=dtype)
-    phase_tab = jnp.asarray(phase_tab, dtype=dtype)
-    fb = _fallback_slowness_planes(veln, velpn, vel_map, stif, group_tab, has_stif)
+    group_tab_np = np.asarray(group_tab).astype(npdt)
+    phase_tab_np = np.asarray(phase_tab).astype(npdt)
+    fb = _np_fallback_slowness_planes(
+        veln_np, velpn_np, vel_map_np, stif_np, group_tab_np, has_stif
+    ).astype(npdt)
     curves, skew, curve_idx = _ray_curve_tables(
-        np.asarray(velpn), np.asarray(stif), np.asarray(group_tab),
-        np.asarray(phase_tab), has_stif
+        velpn_np, stif_np, group_tab_np, phase_tab_np, has_stif
     )
-    used = np.unique(np.asarray(velpn))
+    used = np.unique(velpn_np)
     used = used[used > 0]
-    phase_info = mat.column_info(phase_tab, used)
-    group_info = mat.column_info(group_tab, used)
+    phase_info = mat.column_info(phase_tab_np, used)
+    group_info = mat.column_info(group_tab_np, used)
     ray_info = mat.column_info(curves, np.unique(curve_idx))
     skew_info = mat.column_info(skew, np.unique(curve_idx))
     return Model(
-        veln=veln,
-        velpn=velpn,
-        vel_map=vel_map,
-        stif=stif,
-        group_tab=group_tab,
-        phase_tab=phase_tab,
-        fallback_slowness=fb,
+        veln=jnp.asarray(veln_np),
+        velpn=jnp.asarray(velpn_np),
+        vel_map=jnp.asarray(vel_map_np),
+        stif=jnp.asarray(stif_np),
+        group_tab=jnp.asarray(group_tab_np),
+        phase_tab=jnp.asarray(phase_tab_np),
+        fallback_slowness=jnp.asarray(fb),
         dnx=jnp.asarray(dnx, dtype=dtype),
         ray_curves=jnp.asarray(curves, dtype=dtype),
         ray_curve_idx=jnp.asarray(curve_idx),

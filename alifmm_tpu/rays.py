@@ -79,14 +79,19 @@ def _material_flat(model: gridlib.Model, exact: bool = False):
 def _group_velocity_cell(model, mat_row, eff):
     """Group velocity at effective angle ``eff`` for gathered cell rows
     (reference velocity dispatch, Anis_TTF_rays.py:2950-2978)."""
+    # NOTE: gather-based interpolation on purpose.  The solver's sweep
+    # kernel uses the hat-expansion interp_table because gathers stall its
+    # line scans, but every ray integrator already gathers its material
+    # row per sample -- one more (181-entry-table) gather is ~free, while
+    # the 181-knot expansion inflates the compiled ray program ~10x
+    # (measured 19.5 MB -> ~2 MB executable on the weld bench).
     if mat_row.shape[-1] == 3:  # unified-curve fast path
-        return mats.interp_table(
+        return mats.interp_table_gather(
             model.ray_curves, eff,
             mat_row[..., 2].astype(jnp.int32), mat_row[..., 1],
-            info=model.ray_info,
         )
     veln, velpn, vel_map = mat_row[..., 0], mat_row[..., 1], mat_row[..., 2]
-    v_tab = mats.interp_table(
+    v_tab = mats.interp_table_gather(
         model.group_tab, eff, velpn.astype(jnp.int32), vel_map
     )
     if not model.has_stif:
@@ -304,12 +309,25 @@ def relax_rays(model, mat_flat, ray_x, ray_y, lengths, subgrid_size,
     n_chunks = -(-n_mid // chunk)
     pad = n_chunks * chunk - n_mid
 
-    def segs(px, py, cx, cy, nx, ny):
-        """seg(prev, cand) + seg(cand, next), chunked over vertices."""
-        def prep(a):
+    def segs3(px, py, cands_x, cands_y, nx, ny):
+        """seg(prev, cand) + seg(cand, next) for the 3 stacked candidates
+        at once, chunked over vertices.  One instantiation of the segment
+        integrator serves all candidates of all waves (the wave loop is a
+        lax.scan), keeping the compiled program ~10x smaller than
+        unrolling per-candidate/per-wave evaluations."""
+        def prep2(a):  # (R, n_mid) -> (n_chunks, R, chunk)
             a = jnp.pad(a, ((0, 0), (0, pad)))
             return jnp.moveaxis(a.reshape(R, n_chunks, chunk), 1, 0)
-        args = tuple(prep(a) for a in (px, py, cx, cy, nx, ny))
+
+        def prep3(a):  # (3, R, n_mid) -> (n_chunks, 3, R, chunk)
+            a = jnp.pad(a, ((0, 0), (0, 0), (0, pad)))
+            return jnp.moveaxis(a.reshape(3, R, n_chunks, chunk), 2, 0)
+
+        args = (
+            prep2(px)[:, None], prep2(py)[:, None],
+            prep3(cands_x), prep3(cands_y),
+            prep2(nx)[:, None], prep2(ny)[:, None],
+        )
 
         def one(c):
             p_x, p_y, c_x, c_y, q_x, q_y = c
@@ -329,12 +347,14 @@ def relax_rays(model, mat_flat, ray_x, ray_y, lengths, subgrid_size,
                 + segment_time(model, mat_flat, c_x, c_y, q_x, q_y,
                                subgrid_size, max_cross)
             )
-        out = jax.lax.map(one, args)
-        return jnp.moveaxis(out, 0, 1).reshape(R, n_chunks * chunk)[:, :n_mid]
+        out = jax.lax.map(one, args)  # (n_chunks, 3, R, chunk)
+        out = jnp.moveaxis(out, 0, 2)  # (3, R, n_chunks, chunk)
+        return out.reshape(3, R, n_chunks * chunk)[:, :, :n_mid]
 
     vidx = jnp.arange(1, P - 1)
 
-    def wave(xs, ys, parity):
+    def wave(carry, parity):
+        xs, ys = carry
         px, py = xs[:, :-2], ys[:, :-2]
         cx, cy = xs[:, 1:-1], ys[:, 1:-1]
         nx, ny = xs[:, 2:], ys[:, 2:]
@@ -344,9 +364,9 @@ def relax_rays(model, mat_flat, ray_x, ray_y, lengths, subgrid_size,
         nrm = jnp.where(nrm == 0.0, 1.0, nrm)
         ux = -ty / nrm
         uy = tx / nrm
-        c0 = segs(px, py, cx, cy, nx, ny)
-        cm = segs(px, py, cx - ux * h, cy - uy * h, nx, ny)
-        cp = segs(px, py, cx + ux * h, cy + uy * h, nx, ny)
+        cands_x = jnp.stack([cx, cx - ux * h, cx + ux * h])
+        cands_y = jnp.stack([cy, cy - uy * h, cy + uy * h])
+        c0, cm, cp = segs3(px, py, cands_x, cands_y, nx, ny)
         d1 = cm - c0
         d3 = cp - c0
         ssum = d1 + d3
@@ -364,11 +384,10 @@ def relax_rays(model, mat_flat, ray_x, ray_y, lengths, subgrid_size,
         off = jnp.where(move, off, 0.0)
         xs = xs.at[:, 1:-1].set(cx + ux * off)
         ys = ys.at[:, 1:-1].set(cy + uy * off)
-        return xs, ys
+        return (xs, ys), None
 
-    for _ in range(iters):
-        ray_x, ray_y = wave(ray_x, ray_y, 1)
-        ray_x, ray_y = wave(ray_x, ray_y, 0)
+    parities = jnp.asarray([1, 0] * iters)
+    (ray_x, ray_y), _ = jax.lax.scan(wave, (ray_x, ray_y), parities)
     return ray_x, ray_y
 
 
@@ -842,6 +861,11 @@ def trace_rays_descent(
     Same signature/returns as trace_rays.  Requires a model with
     precomputed ray_curves/ray_skew (make_model does this).
     """
+    if score_k > 0 and score_k % 2 == 0:
+        # the improve-gate scores the window center as the descent point;
+        # an even window has no center candidate (index k//2 sits half a
+        # stride off-center), which would gate against the wrong score
+        raise ValueError(f"score_k must be odd (got {score_k})")
     Z, X = model.shape
     s = int(subgrid_size)
     dt = model.vel_map.dtype
@@ -931,9 +955,9 @@ def trace_rays_descent(
         cls_c = jnp.take(cls_flat, cell)
         theta_p = jnp.degrees(jnp.arctan2(gy, gx))
         phi = veln_c - theta_p
-        d_mat = mats.interp_table(
+        # gather interp on purpose: see _group_velocity_cell
+        d_mat = mats.interp_table_gather(
             model.ray_skew, phi, cls_c, jnp.asarray(1.0, dt),
-            info=model.skew_info,
         )
         dg = -d_mat * (np.pi / 180.0)
         cd, sd_ = jnp.cos(dg), jnp.sin(dg)
@@ -1081,7 +1105,8 @@ def trace_rays_auto(
     2. *Verify*: the receiver TTF sampled at the source IS the true
        first-arrival time, and any path integral is an upper bound on it
        (Fermat), so ``time > (1 + tol) * TTF(src)`` provably identifies
-       every suboptimal ray -- there are no false negatives.
+       every suboptimal ray -- no false negatives up to the solver
+       field's own discretization error (which is folded into ``tol``).
     3. Retrace only the flagged rays with the reference-parity plane
        search (trace_rays), in fixed-size chunks so XLA compiles one
        fallback program regardless of how many rays need it.
@@ -1106,7 +1131,10 @@ def trace_rays_auto(
     t_true = jax.vmap(_t_src)(
         ttf_index, source_xy[:, 0], source_xy[:, 1]
     )
-    bad = np.asarray(times > (1.0 + tol) * t_true)
+    # NaN-safe: a descent ray whose integration produced NaN (e.g. a path
+    # clipped through an INF region) must also take the fallback, so flag
+    # everything NOT provably within tolerance.
+    bad = ~np.asarray(times <= (1.0 + tol) * t_true)
     if not bad.any():
         return bx, by, lens, times
 

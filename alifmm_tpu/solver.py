@@ -448,6 +448,16 @@ def _stage_final(model, prev_tt, prev_bz, prev_bx, cfg, use_pallas=False):
 
     tt, fixed = jax.vmap(inject_one)(prev_tt, prev_bz, prev_bx)
     if cfg.multigrid:
+        import warnings
+
+        warnings.warn(
+            "SolveConfig.multigrid is experimental and known to DEGRADE "
+            "accuracy (up to 7e-2 relative error on the weld workload: the "
+            "prolonged coarse guess undershoots and the monotone phase-1 "
+            "sweep cannot raise it) with no measured speedup; do not use "
+            "for production solves.",
+            stacklevel=2,
+        )
         cm = _decimate_model(model, 3)
         tt_c, _ = sweep.solve_fixpoint(
             tt[:, ::3, ::3], cm, fixed[:, ::3, ::3], rel_tol=cfg.rel_tol,

@@ -8,31 +8,30 @@ top-bottom ray paths (SURVEY.md section 6).  Prints ONE json line:
 
 Baseline: the driver's target of 1.0 s for the full workload on one chip
 (BASELINE.md); vs_baseline > 1 means faster than target.
+
+Robustness layout: the measurement runs in a child process (this same
+file with BENCH_CHILD=1) under a wall-clock budget enforced by the
+parent, so a pathological compile / wedged device can never end the
+bench without a parseable JSON line on stdout.  If the first child dies
+*quickly* (e.g. a stale compilation cache poisoned by a libtpu version
+change), the parent retries once with a fresh cache directory.
 """
 
 import json
 import os
+import subprocess
 import sys
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      os.path.join(os.path.dirname(__file__), ".jax_cache"))
-
-import jax  # noqa: E402
-import jax.numpy as jnp  # noqa: E402
-import numpy as np  # noqa: E402
-
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), "examples"))
-sys.path.insert(0, os.path.dirname(__file__))
-
-from weld_rays import build_workload  # noqa: E402
-
-from alifmm_tpu import grid as gridlib  # noqa: E402
-from alifmm_tpu import rays as rayslib  # noqa: E402
-from alifmm_tpu import solver  # noqa: E402
-
+HERE = os.path.dirname(os.path.abspath(__file__))
 BASELINE_S = 1.0
 SUBGRID = 9
+METRIC = "weld_31ttf_961rays_wall_clock"
+
+# Overall wall-clock budget for the whole bench (driver timeouts are not
+# public; stay safely inside plausible ones while allowing a full cold
+# compile of the four solver stages + tracer on a 1-core host).
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1500"))
 
 # Production ray-march configuration: long-stride plane search with
 # Simpson candidate scoring and quad-scored Fermat relaxation.  Validated
@@ -44,49 +43,137 @@ RAY_OPTS = dict(max_cross=8, step_scale=6, quad_vel=True, relax_iters=2,
                 max_steps=170, cand_stride=6.0)
 
 
-def run_once(model, sx, sy, pairs, rec):
-    ttfs = solver.solve_ttf(model, sx[rec], sy[rec], 1)
-    pair_i, pair_j = np.nonzero(pairs == 1)
-    isx = np.round(sx / model.dnx)
-    isy = np.round(sy / model.dnx)
-    src_xy = jnp.asarray(
-        np.stack([isx[pair_i] * SUBGRID, isy[pair_i] * SUBGRID], 1)
-    )
-    rec_xy = jnp.asarray(
-        np.stack([isx[pair_j] * SUBGRID, isy[pair_j] * SUBGRID], 1)
-    )
-    tidx = jnp.asarray(np.searchsorted(rec, pair_j))
-    out = rayslib.trace_rays(
-        model, ttfs, tidx, src_xy, rec_xy, SUBGRID, mode="interp",
-        **RAY_OPTS,
-    )
-    jax.block_until_ready(out)
-    return out
+def _emit(value, vs_baseline, **extra):
+    line = {"metric": METRIC, "value": value, "unit": "s",
+            "vs_baseline": vs_baseline}
+    line.update(extra)
+    print(json.dumps(line), flush=True)
 
 
-def main():
+# --------------------------------------------------------------------- #
+# child: the actual measurement
+# --------------------------------------------------------------------- #
+
+
+def child():
+    import jax
+
+    # NOTE: must go through jax.config -- jax 0.9 does not read the
+    # JAX_COMPILATION_CACHE_DIR env var, and without a persistent cache
+    # every bench run pays the full cold compile.
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                       os.path.join(HERE, ".jax_cache")),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    sys.path.insert(0, os.path.join(HERE, "examples"))
+    sys.path.insert(0, HERE)
+
+    from weld_rays import build_workload
+
+    from alifmm_tpu import grid as gridlib
+    from alifmm_tpu import rays as rayslib
+    from alifmm_tpu import solver
+
+    def log(msg):
+        print(f"[bench {time.time()-T0:7.1f}s] {msg}", file=sys.stderr,
+              flush=True)
+
+    T0 = time.time()
+    cfg = solver.SolveConfig()
+
+    def run_once(model, sx, sy, pairs, rec):
+        ttfs = solver.solve_ttf(model, sx[rec], sy[rec], 1, cfg)
+        pair_i, pair_j = np.nonzero(pairs == 1)
+        isx = np.round(sx / model.dnx)
+        isy = np.round(sy / model.dnx)
+        src_xy = jnp.asarray(
+            np.stack([isx[pair_i] * SUBGRID, isy[pair_i] * SUBGRID], 1)
+        )
+        rec_xy = jnp.asarray(
+            np.stack([isx[pair_j] * SUBGRID, isy[pair_j] * SUBGRID], 1)
+        )
+        tidx = jnp.asarray(np.searchsorted(rec, pair_j))
+        out = rayslib.trace_rays(
+            model, ttfs, tidx, src_xy, rec_xy, SUBGRID, mode="interp",
+            **RAY_OPTS,
+        )
+        jax.block_until_ready(out)
+        return out
+
+    log(f"backend={jax.default_backend()}")
     veln, velpn, vel_map, stif, sx, sy, pairs, dnx = build_workload()
     model = gridlib.make_model(
         veln, velpn, vel_map, stif, None, None, dnx, dtype=jnp.float32
     )
     rec = np.nonzero(pairs.sum(axis=0) > 0)[0]
+    log("model built")
 
     run_once(model, sx, sy, pairs, rec)  # compile warm-up
+    log("warm-up done")
     t0 = time.time()
     run_once(model, sx, sy, pairs, rec)
     dt = time.time() - t0
+    log(f"measured {dt:.3f}s")
+    _emit(round(dt, 4), round(BASELINE_S / dt, 3))
 
-    print(
-        json.dumps(
-            {
-                "metric": "weld_31ttf_961rays_wall_clock",
-                "value": round(dt, 4),
-                "unit": "s",
-                "vs_baseline": round(BASELINE_S / dt, 3),
-            }
+
+# --------------------------------------------------------------------- #
+# parent: budget enforcement + retry-on-poisoned-cache
+# --------------------------------------------------------------------- #
+
+
+def _run_child(deadline, fresh_cache):
+    env = dict(os.environ)
+    env["BENCH_CHILD"] = "1"
+    cache = os.path.join(HERE, ".jax_cache")
+    if fresh_cache:
+        cache = os.path.join(HERE, ".jax_cache_fresh")
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", cache)
+    timeout = max(10.0, deadline - time.time())
+    t0 = time.time()
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, cwd=HERE, timeout=timeout,
+            stdout=subprocess.PIPE, text=True,
         )
-    )
+    except subprocess.TimeoutExpired:
+        return None, time.time() - t0, "timeout"
+    for ln in (proc.stdout or "").splitlines():
+        try:
+            obj = json.loads(ln)
+            if obj.get("metric") == METRIC and isinstance(
+                obj.get("value"), (int, float)
+            ):
+                return obj, time.time() - t0, None
+        except json.JSONDecodeError:
+            continue
+    return None, time.time() - t0, f"rc={proc.returncode}"
+
+
+def parent():
+    deadline = time.time() + BUDGET_S - 20.0
+    obj, took, err = _run_child(deadline, fresh_cache=False)
+    if obj is None and err != "timeout" and time.time() < deadline - 60:
+        # fast failure: likely a stale/poisoned compile cache -- retry clean
+        print(f"[bench] first attempt failed ({err}); retrying with a "
+              "fresh compile cache", file=sys.stderr, flush=True)
+        obj, took, err = _run_child(deadline, fresh_cache=True)
+    if obj is not None:
+        print(json.dumps(obj), flush=True)
+        return 0
+    _emit(-1.0, 0.0, error=f"bench did not complete within budget ({err})")
+    return 1
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("BENCH_CHILD") == "1":
+        child()
+    else:
+        sys.exit(parent())
