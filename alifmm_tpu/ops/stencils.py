@@ -501,6 +501,7 @@ def local_update(
     dnx: float,
     causal: bool = False,
     vel_fn=None,
+    use_ali: bool = True,
 ):
     """One local solve at every point of a block.
 
@@ -518,7 +519,18 @@ def local_update(
     ``vel_fn``: optional ``eff_angle_deg -> phase velocity`` override used
     by the Pallas sweep kernel (folded per-cell Christoffel coefficients
     instead of the Model dispatch).
+
+    ``use_ali=False`` skips the ALI candidate and returns the pure
+    multi-stencil FD estimate.  The FD quadratic updates are monotone
+    upwind (inputs above the true solution can only produce outputs above
+    it), unlike the ALI wavefront *interpolation*, whose extrapolated
+    line can undershoot when fed partial-knowledge transients -- the
+    parallel-in-block phase-1 envelope (ops/sweep.gs_pass ``inner``)
+    relies on this to stay min-lock-safe.
     """
+    fouds_val = _fouds_candidate(nbr, known, inb, fbs, tt_center, dnx, causal)
+    if not use_ali:
+        return fouds_val
     angle, dist, wtime, imax = _ali_candidate(nbr, known, edges)
     eff = jnp.mod(veln - angle, 180.0)
     if vel_fn is not None:
@@ -531,7 +543,6 @@ def local_update(
     ali_ok = dist >= 0.0
     if causal:
         ali_ok = ali_ok & (ali_val >= imax)
-    fouds_val = _fouds_candidate(nbr, known, inb, fbs, tt_center, dnx, causal)
     return jnp.where(ali_ok, ali_val, fouds_val)
 
 

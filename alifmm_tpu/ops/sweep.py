@@ -264,7 +264,8 @@ def _pad_tail2(a, S, mode, cv=None, axes=(-2, -1)):
     return jnp.pad(a, cfg, constant_values=cv)
 
 
-def gs_pass(tt, model: gridlib.Model, fixed, replace=False, block: int = 1):
+def gs_pass(tt, model: gridlib.Model, fixed, replace=False, block: int = 1,
+            inner: int = 0):
     """One full Gauss-Seidel pass: down, up, left, right line sweeps as a
     single ``lax.scan`` over the four directions.
 
@@ -277,6 +278,37 @@ def gs_pass(tt, model: gridlib.Model, fixed, replace=False, block: int = 1):
     tie-breaks are exactly those of gs_pass_unshared; only the number of
     local_update instantiations changes (4*block -> block), which cuts the
     XLA compile time of every solver stage by ~4x.
+
+    ``inner`` (static): 0 keeps the strict sequential in-block line order
+    (result identical to block=1).  ``inner=J > 0`` switches the block
+    body to J *parallel* Jacobi iterations over all ``block`` lines at
+    once: every line updates simultaneously from the previous iteration's
+    in-block values (carry lines for the first two, next block's old
+    lines for the last two).  The stencil reaches 2 lines, so J >= B/2
+    propagates information entering the block to its far edge -- same
+    per-sweep front propagation as strict order at HALF the serial depth
+    (J latencies per B lines instead of B).
+
+    EXPERIMENTAL -- measured NOT profitable on the weld workload; keep 0
+    for production.  Findings (round 2):
+
+    * The parallel iteration is exact *at* a fixpoint (verified: one
+      replace pass at the converged field is identical for inner=0 and
+      inner=J), so the mechanism is sound.
+    * Full-update (ALI) inner iterations min-lock undershoots: the ALI
+      wavefront *interpolation* extrapolates below the true solution
+      when fed same-iteration partial-knowledge neighbours, and neither
+      more polish nor strictly-ordered polish recovers (the upwind
+      restriction ``v < tt_center`` hides a cell's true upwind
+      neighbours once its value falls below them) -- ~7e-3 mean
+      deviation on a rough random-angle model.
+    * FD-only inner iterations (use_ali=False, monotone upwind) avoid
+      the min-lock but converge slowly, and the J-fold arithmetic
+      per block step makes each pass ~J/2 x more *work*: the weld final
+      stage is throughput-bound, not latency-bound (31 sources x 500
+      width fills the VPU), so inner=4 measured 1.27 s vs 0.31 s for
+      the strict order at worse accuracy.  A latency-dominated regime
+      (single source, narrow grid) could still profit.
     """
     Z, X = tt.shape[-2], tt.shape[-1]
     S = max(Z, X)
@@ -317,6 +349,9 @@ def gs_pass(tt, model: gridlib.Model, fixed, replace=False, block: int = 1):
 
     iw = jnp.arange(S)
     B = max(1, int(block))
+    # parallel-in-block iterations (0 = strict sequential order); needs at
+    # least 2 lines per block for the carry/tail concatenations
+    J = int(inner) if (inner and B >= 2) else 0
     nb = -(-S // B)
     pad_l = nb * B - S  # pad scan length to a block multiple
     Sp = nb * B
@@ -422,8 +457,93 @@ def gs_pass(tt, model: gridlib.Model, fixed, replace=False, block: int = 1):
             )
             return new_p, new
 
+        def one_block_parallel(m2, m1, x):
+            """J parallel Jacobi iterations over the B block lines.
+
+            Shapes: ``x`` entries carry a leading block dim B;
+            ``cur``/bands get (B, ...line shape).  The per-line masks and
+            material planes gain a broadcast axis against the source
+            batch (lines are (n_src, S+4) under the batched final stage,
+            (S+4,) under a single-source solve).
+            """
+            cur = x["old0"]  # (B, ..., S+4) current padded values
+            # line batch dims between the block axis and the width axis
+            # (1 under the batched stages: the source axis; 0 otherwise)
+            extra = m1.ndim - 1
+            i = x["idx"]
+
+            def bexp(a):  # (B,) -> (B, 1, ..., 1) against line dims
+                return a.reshape(a.shape + (1,) * m1.ndim)
+
+            z_ok_b = {
+                db: bexp((i + db >= 0) & (i + db <= Lt - 1))
+                for db in (-2, -1, 0, 1, 2)
+            }
+            line0 = bexp(i == 0)
+            lineN = bexp(i == Lt - 1)
+            edges = dict(
+                top=jnp.where(is_x, wfirst, line0),
+                bottom=jnp.where(is_x, wlast, lineN),
+                left=jnp.where(is_x, line0, wfirst),
+                right=jnp.where(is_x, lineN, wlast),
+            )
+            # Materials: insert the broadcast axes so each plane matches
+            # its per-line layout with a leading block axis.  fbs is
+            # indexed positionally (fbs[0..3] in _fouds_candidate), so
+            # its family axis must come FIRST: (B, 4, S) -> (4, B, 1*, S).
+            mats_b = {}
+            for k, v in x["mats"].items():
+                if k == "fbs":
+                    v = jnp.moveaxis(v, 1, 0)  # (4, B, S)
+                    if extra:
+                        v = jnp.expand_dims(v, tuple(range(2, 2 + extra)))
+                elif extra:
+                    # veln/velpn/vel_map: (B, S); stif: (B, S, 5) -- the
+                    # broadcast axes go right after the block axis
+                    v = jnp.expand_dims(v, tuple(range(1, 1 + extra)))
+                mats_b[k] = v
+            # scan-order-ahead old lines of the NEXT block (last entries
+            # of this block's oldA/oldB shifted views)
+            ahead_tail1 = x["oldA"][-1:]
+            ahead_tail2 = x["oldB"][-2:]
+            for _ in range(J):
+                behind1 = jnp.concatenate([m1[None], cur[:-1]], axis=0)
+                behind2 = jnp.concatenate(
+                    [m2[None], m1[None], cur[:-2]], axis=0
+                )
+                ahead1 = jnp.concatenate([cur[1:], ahead_tail1], axis=0)
+                ahead2 = jnp.concatenate([cur[2:], ahead_tail2], axis=0)
+                band_fwd = jnp.stack(
+                    [behind2, behind1, cur, ahead1, ahead2], -2
+                )
+                band_rev = jnp.stack(
+                    [ahead2, ahead1, cur, behind1, behind2], -2
+                )
+                band = jnp.where(rev, band_rev, band_fwd)
+                # FD-only update: monotone upwind, so the parallel
+                # iteration cannot min-lock an ALI-extrapolation
+                # undershoot (see local_update docstring); the strict
+                # polish passes restore full ALI values.
+                new = _band_step_traced(
+                    band, S, is_x, z_ok_b, edges, wok, mats_b, model,
+                    model.dnx, use_ali=False,
+                )
+                old_center = cur[..., 2 : 2 + S]
+                acc_min = jnp.minimum(old_center, new)
+                acc_rep = jnp.where(new < INF * 0.5, new, old_center)
+                new = jnp.where(replace, acc_rep, acc_min)
+                new = jnp.where(x["fixed"], old_center, new)
+                cur = jnp.pad(
+                    new,
+                    [(0, 0)] * (new.ndim - 1) + [(2, 2)],
+                    constant_values=INF,
+                )
+            return (cur[-2], cur[-1]), cur[..., 2 : 2 + S]
+
         def step(carry, x):
             m2, m1 = carry
+            if J > 0:
+                return one_block_parallel(m2, m1, x)
             outs = []
             for b in range(B):
                 xb = jax.tree.map(lambda a: a[b], x)
@@ -444,7 +564,8 @@ def gs_pass(tt, model: gridlib.Model, fixed, replace=False, block: int = 1):
     return tt_sq[..., :Z, :X]
 
 
-def _band_step_traced(band, W, is_x, z_ok, edges, wok, center, model, dnx):
+def _band_step_traced(band, W, is_x, z_ok, edges, wok, center, model, dnx,
+                      use_ali=True):
     """_band_step with a *traced* axis flag: neighbour views select between
     the (dz, dx) and transposed (dx, dz) band offsets with jnp.where, so
     one instantiation serves both sweep axes."""
@@ -473,6 +594,7 @@ def _band_step_traced(band, W, is_x, z_ok, edges, wok, center, model, dnx):
         model,
         dnx,
         causal=True,
+        use_ali=use_ali,
     )
 
 
@@ -492,13 +614,49 @@ def solve_fixpoint(
     min_passes: int = 2,
     polish_passes: int = 5,
     block: int = 1,
+    inner: int = 0,
 ):
     """Two-phase fixpoint solve (see module docstring).
 
-    Runs under jit; both phases share one lax.while_loop (and thus one
-    compiled sweep body per axis).  Returns (field, phase-1 pass count).
+    Runs under jit; with ``inner == 0`` both phases share one
+    lax.while_loop (and thus one compiled sweep body per axis).  With
+    ``inner > 0`` the phase-1 envelope runs parallel-in-block sweeps in
+    its own while_loop and the replace-mode polish runs STRICTLY ordered
+    in a second loop (see the gs_pass caveat: all-parallel polish settles
+    at a different self-consistent field; ordered polish restores the
+    validated heap-march values).  Returns (field, phase-1 pass count).
     """
     max_passes = jnp.asarray(max_passes)
+
+    if inner:
+        def cond1(state):
+            tt, prev, k = state
+            return k < max_passes
+
+        def body1(state):
+            tt, prev, k = state
+            new = gs_pass(tt, model, fixed, replace=False, block=block,
+                          inner=inner)
+            known = new < INF * 0.5
+            delta = jnp.max(
+                jnp.where(known | (tt < INF * 0.5), jnp.abs(new - tt), 0.0)
+            )
+            scale = jnp.max(jnp.where(known, new, 0.0))
+            converged = delta <= rel_tol * jnp.maximum(scale, 1e-30)
+            k1 = k + 1
+            k1 = jnp.where(converged & (k1 >= min_passes), max_passes, k1)
+            return (new, tt, k1)
+
+        tt, _, _ = jax.lax.while_loop(
+            cond1, body1, (tt0, tt0 + 1.0, jnp.asarray(0))
+        )
+
+        def body2(_, tt):
+            return gs_pass(tt, model, fixed, replace=True, block=block,
+                           inner=0)
+
+        tt = jax.lax.fori_loop(0, polish_passes, body2, tt)
+        return tt, jnp.asarray(0)
 
     def cond(state):
         tt, prev, k, phase = state

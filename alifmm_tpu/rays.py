@@ -290,7 +290,8 @@ def ray_times(model, mat_flat, ray_x, ray_y, lengths, subgrid_size,
 
 def relax_rays(model, mat_flat, ray_x, ray_y, lengths, subgrid_size,
                iters: int = 2, span: float | None = None,
-               max_cross: int = 12, chunk: int = 64, quad: bool = False):
+               max_cross: int = 12, chunk: int = 64,
+               quad: bool | int = False):
     """Parallel Fermat relaxation of ray polylines.
 
     Each interior vertex moves along the perpendicular of its local chord
@@ -339,11 +340,16 @@ def relax_rays(model, mat_flat, ray_x, ray_y, lengths, subgrid_size,
                 # Simpson scoring (segment_time_quad): ~4x fewer gathers;
                 # candidate *ranking* is what relaxation needs, and the
                 # final times are integrated exactly afterwards.
+                # quad == 3 selects the 3-point rule (endpoints+midpoint,
+                # same convention as trace_rays quad_vel=3): 2.5x fewer
+                # material gathers again -- relaxation is gather-throughput
+                # bound, so this is the dominant cost knob.
+                quad_fn = segment_time_quad3 if quad == 3 else segment_time_quad
                 return (
-                    segment_time_quad(model, mat_flat, p_x, p_y, c_x, c_y,
-                                      subgrid_size)
-                    + segment_time_quad(model, mat_flat, c_x, c_y, q_x, q_y,
-                                        subgrid_size)
+                    quad_fn(model, mat_flat, p_x, p_y, c_x, c_y,
+                            subgrid_size)
+                    + quad_fn(model, mat_flat, c_x, c_y, q_x, q_y,
+                              subgrid_size)
                 )
             return (
                 segment_time(model, mat_flat, p_x, p_y, c_x, c_y,
@@ -475,7 +481,7 @@ def trace_rays(
     return_reason: bool = False,
     relax_iters: int = 0,
     cand_stride: float = 1.0,
-    relax_quad: bool = True,
+    relax_quad: bool | int = True,
 ):
     """March rays from ``source_xy`` to ``receiver_xy`` through the
     receiver's travel-time field (find_ray, Anis_TTF_rays.py:3104-3465).
@@ -843,7 +849,7 @@ def trace_rays_descent(
     max_cross: int = 16,
     step_scale: float = 6.0,
     relax_iters: int = 2,
-    relax_quad: bool = True,
+    relax_quad: bool | int = True,
     return_reason: bool = False,
     score_k: int = 0,
     score_stride: float = 1.0,

@@ -65,12 +65,31 @@ class SolveConfig:
     multigrid: bool = dataclasses.field(default=False, metadata=dict(static=True))
     mg_passes: int = dataclasses.field(default=12, metadata=dict(static=True))
     mg_polish: int = dataclasses.field(default=2, metadata=dict(static=True))
+    # Final-stage-only overrides (None = inherit rel_tol / polish_passes).
+    # The telescoped patches feed the final injection, so their budget
+    # stays conservative; the final full-grid stage dominates solve time
+    # (~70% measured on the weld) and tolerates a looser phase-1 gate --
+    # its replace-mode polish sets the final values either way.  Measured
+    # on the weld at (2e-3, 3): 0.35 s vs 0.54 s for the default
+    # (1e-3, 5), 1.9e-2 max / 1.2e-3 mean relative deviation from a
+    # 30-pass reference run (vs 1.6e-2 / 0.9e-3 for the default).
+    final_rel_tol: float | None = dataclasses.field(
+        default=None, metadata=dict(static=True))
+    final_polish_passes: int | None = dataclasses.field(
+        default=None, metadata=dict(static=True))
     # Lines per lax.scan step in the GS sweeps (ops/sweep._sweep_axis):
     # the inner lines are updated sequentially (unrolled) so results are
     # identical to block=1; larger blocks amortise per-step dispatch
     # latency, the dominant cost of the final full-grid stage.
     sweep_block: int = dataclasses.field(default=8, metadata=dict(static=True))
     patch_block: int = dataclasses.field(default=4, metadata=dict(static=True))
+    # EXPERIMENTAL: parallel-in-block Jacobi iterations inside each sweep
+    # block (ops/sweep.gs_pass ``inner``; see its docstring for the full
+    # findings).  0 = strict sequential line order -- keep 0 for
+    # production: the weld-scale sweeps are throughput-bound and inner=4
+    # measured 4x SLOWER at worse accuracy.
+    sweep_inner: int = dataclasses.field(default=0, metadata=dict(static=True))
+    patch_inner: int = dataclasses.field(default=0, metadata=dict(static=True))
 
 
 def _window_origin(center, half, n):
@@ -271,9 +290,12 @@ def solve_one(
     # final full-grid stage (factor 1)
     tt, fixed = _inject(prev_tt, prev_origin, 3, (Z, X), (0, 0), 1, dtype,
                         (Z, X))
+    f_tol = cfg.rel_tol if cfg.final_rel_tol is None else cfg.final_rel_tol
+    f_pol = (cfg.polish_passes if cfg.final_polish_passes is None
+             else cfg.final_polish_passes)
     tt, n = sweep.solve_fixpoint(
-        tt, model, fixed, rel_tol=cfg.rel_tol,
-        max_passes=cfg.final_max_passes, polish_passes=cfg.polish_passes,
+        tt, model, fixed, rel_tol=f_tol,
+        max_passes=cfg.final_max_passes, polish_passes=f_pol,
     )
     return tt
 
@@ -344,7 +366,7 @@ def _patch_solve_batched(tt, patches, fixed, factor, model, cfg, use_pallas):
                 tt_i, patch_i, fixed_i, rel_tol=cfg.rel_tol,
                 max_passes=cfg.patch_max_passes,
                 polish_passes=cfg.polish_passes,
-                block=cfg.patch_block,
+                block=cfg.patch_block, inner=cfg.patch_inner,
             )
             return out
         return jax.vmap(one)(tt, patches, fixed)
@@ -491,17 +513,20 @@ def _stage_final(model, prev_tt, prev_bz, prev_bx, cfg, use_pallas=False):
         )
         up = _prolong3(tt_c, Z, X)
         tt = jnp.where(tt < INF * 0.5, tt, up)
+    f_tol = cfg.rel_tol if cfg.final_rel_tol is None else cfg.final_rel_tol
+    f_pol = (cfg.polish_passes if cfg.final_polish_passes is None
+             else cfg.final_polish_passes)
     if use_pallas:
         tt, _ = pallas_sweep.solve_fixpoint_pallas(
-            tt, model, fixed, rel_tol=cfg.rel_tol,
+            tt, model, fixed, rel_tol=f_tol,
             max_passes=cfg.final_max_passes,
-            polish_passes=cfg.polish_passes,
+            polish_passes=f_pol,
         )
         return tt
     tt, _ = sweep.solve_fixpoint(
-        tt, model, fixed, rel_tol=cfg.rel_tol,
-        max_passes=cfg.final_max_passes, polish_passes=cfg.polish_passes,
-        block=cfg.sweep_block,
+        tt, model, fixed, rel_tol=f_tol,
+        max_passes=cfg.final_max_passes, polish_passes=f_pol,
+        block=cfg.sweep_block, inner=cfg.sweep_inner,
     )
     return tt
 
