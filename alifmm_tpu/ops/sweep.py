@@ -265,7 +265,7 @@ def _pad_tail2(a, S, mode, cv=None, axes=(-2, -1)):
 
 
 def gs_pass(tt, model: gridlib.Model, fixed, replace=False, block: int = 1,
-            inner: int = 0):
+            inner: int = 0, inner_use_ali: bool = False):
     """One full Gauss-Seidel pass: down, up, left, right line sweeps as a
     single ``lax.scan`` over the four directions.
 
@@ -520,13 +520,16 @@ def gs_pass(tt, model: gridlib.Model, fixed, replace=False, block: int = 1,
                     [ahead2, ahead1, cur, behind1, behind2], -2
                 )
                 band = jnp.where(rev, band_rev, band_fwd)
-                # FD-only update: monotone upwind, so the parallel
-                # iteration cannot min-lock an ALI-extrapolation
-                # undershoot (see local_update docstring); the strict
-                # polish passes restore full ALI values.
+                # Default FD-only update (inner_use_ali=False): monotone
+                # upwind, so the parallel iteration cannot min-lock an
+                # ALI-extrapolation undershoot (see local_update
+                # docstring); the strict polish passes restore full ALI
+                # values.  inner_use_ali=True keeps the full update --
+                # used by the fixpoint-invariance tests; NOT min-lock
+                # safe as a phase-1 envelope.
                 new = _band_step_traced(
                     band, S, is_x, z_ok_b, edges, wok, mats_b, model,
-                    model.dnx, use_ali=False,
+                    model.dnx, use_ali=inner_use_ali,
                 )
                 old_center = cur[..., 2 : 2 + S]
                 acc_min = jnp.minimum(old_center, new)

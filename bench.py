@@ -48,8 +48,11 @@ BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "560"))
 RAY_OPTS = dict(max_cross=8, step_scale=6, quad_vel=True, relax_iters=1,
                 relax_quad=3, max_steps=170, cand_stride=6.0)
 # Final-stage-only solver relaxation: see SolveConfig docstring (0.54 ->
-# 0.35 s on the weld at +3e-4 mean deviation from a 30-pass run).
-SOLVE_KW = dict(final_rel_tol=2e-3, final_polish_passes=3)
+# 0.31 s on the weld at +3e-4 mean deviation from a 30-pass run).
+# sweep_block=4 halves the final-stage XLA compile (55 s vs 105 s over
+# the 1-core tunnel -- cold-start robustness for the driver's ~600 s
+# budget) at +2.6% final-stage runtime.
+SOLVE_KW = dict(final_rel_tol=2e-3, final_polish_passes=3, sweep_block=4)
 
 
 def _emit(value, vs_baseline, **extra):
