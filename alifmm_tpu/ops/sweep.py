@@ -265,7 +265,8 @@ def _pad_tail2(a, S, mode, cv=None, axes=(-2, -1)):
 
 
 def gs_pass(tt, model: gridlib.Model, fixed, replace=False, block: int = 1,
-            inner: int = 0, inner_use_ali: bool = False):
+            inner: int = 0, inner_use_ali: bool = False,
+            use_ali: bool = True):
     """One full Gauss-Seidel pass: down, up, left, right line sweeps as a
     single ``lax.scan`` over the four directions.
 
@@ -278,6 +279,11 @@ def gs_pass(tt, model: gridlib.Model, fixed, replace=False, block: int = 1,
     tie-breaks are exactly those of gs_pass_unshared; only the number of
     local_update instantiations changes (4*block -> block), which cuts the
     XLA compile time of every solver stage by ~4x.
+
+    ``use_ali`` (static): False runs the strict sweeps with the pure
+    multi-stencil FD update (monotone upwind, ~2x cheaper per line) --
+    a phase-1 envelope option; the replace-mode polish must stay full-ALI
+    to land on the validated field (see solve_fixpoint ``phase1_use_ali``).
 
     ``inner`` (static): 0 keeps the strict sequential in-block line order
     (result identical to block=1).  ``inner=J > 0`` switches the block
@@ -444,7 +450,8 @@ def gs_pass(tt, model: gridlib.Model, fixed, replace=False, block: int = 1,
                 right=jnp.where(is_x, lineN, wlast),
             )
             new = _band_step_traced(
-                band, S, is_x, z_ok, edges, wok, x["mats"], model, model.dnx
+                band, S, is_x, z_ok, edges, wok, x["mats"], model, model.dnx,
+                use_ali=use_ali,
             )
             old_center = x["old0"][..., 2 : 2 + S]
             acc_min = jnp.minimum(old_center, new)

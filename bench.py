@@ -108,8 +108,11 @@ def child():
     # Fixed transducer-pair geometry: prepared once, device-resident
     # (the measurement is solver + rays, not host-side index building).
     pair_i, pair_j = np.nonzero(pairs == 1)
-    isx = np.round(sx / model.dnx)
-    isy = np.round(sy / model.dnx)
+    # host-side float dnx: model.dnx is a device scalar, and eager ops
+    # through the axon tunnel pay seconds-to-minutes of first-execution
+    # latency (bench_data/FINDINGS_r2.md) -- keep index prep pure numpy
+    isx = np.round(sx / dnx)
+    isy = np.round(sy / dnx)
     src_xy = jnp.asarray(
         np.stack([isx[pair_i] * SUBGRID, isy[pair_i] * SUBGRID], 1)
     )
