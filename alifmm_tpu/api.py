@@ -61,6 +61,7 @@ class ALI_FMM:
         dtype=jnp.float32,
         ttf_mode="interp",
         ray_opts=None,
+        solve_opts=None,
     ):
         # --- validation, matching Anis_TTF_rays.py:3818-3838 --------------
         self.stif_den = stif_den
@@ -131,7 +132,11 @@ class ALI_FMM:
         # only "descent", tol/retrace_chunk/descent_kw/search_kw only
         # "auto") -- speed/accuracy trade, default reference geometry
         self._ray_opts = dict(ray_opts or {})
-        self._cfg = solverlib.SolveConfig()
+        # solver iteration budget (solver.SolveConfig fields); default is
+        # the conservative reference-parity budget -- the weld production
+        # tuning is e.g. dict(final_rel_tol=2e-3, final_polish_passes=3,
+        # sweep_block=4) (bench.py SOLVE_KW)
+        self._cfg = solverlib.SolveConfig(**dict(solve_opts or {}))
 
     # ------------------------------------------------------------------ #
     # model assembly

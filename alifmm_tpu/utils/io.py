@@ -12,7 +12,37 @@ import os
 
 import numpy as np
 
-__all__ = ["save_fields", "load_fields", "save_rays", "load_rays"]
+__all__ = ["save_fields", "load_fields", "save_rays", "load_rays",
+           "enable_compile_cache"]
+
+
+def enable_compile_cache(cache_dir=None, min_compile_secs=2.0):
+    """Enable jax's persistent compilation cache.
+
+    The solver's sweep bodies are large programs (cold compile of the full
+    weld pipeline is minutes over a remote-device tunnel); a disk cache
+    makes every run after the first start in seconds.  Must be called
+    before the first jit execution.  jax 0.9 ignores the
+    JAX_COMPILATION_CACHE_DIR env var, hence the config route.
+
+    ``cache_dir`` defaults to ``~/.cache/alifmm_tpu/jax`` (or
+    $JAX_COMPILATION_CACHE_DIR if set).
+    """
+    import jax
+
+    cache_dir = (
+        cache_dir
+        or os.environ.get("JAX_COMPILATION_CACHE_DIR")
+        or os.path.join(
+            os.path.expanduser("~"), ".cache", "alifmm_tpu", "jax"
+        )
+    )
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update(
+        "jax_persistent_cache_min_compile_time_secs", float(min_compile_secs)
+    )
+    return cache_dir
 
 
 def save_fields(path, fields, source_indices=None):

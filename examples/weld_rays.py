@@ -55,6 +55,12 @@ def build_workload():
 
 
 def main(out_dir=".", ttf_mode="interp"):
+    from alifmm_tpu.utils import io as iolib
+
+    iolib.enable_compile_cache(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
+                     ".jax_cache")
+    )
     veln, velpn, vel_map, stif_density, sx, sy, trans_pairs, dnx = (
         build_workload()
     )

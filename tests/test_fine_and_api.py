@@ -82,6 +82,14 @@ def test_constructor_validation(small_setup):
     fm = ALI_FMM(veln, velpn, vel_map, scx, scz, dnx=dnx)
     assert fm.nsrc == 3
     assert fm.velocity_dat.shape == (361, 2)
+    # solve_opts forwards to solver.SolveConfig (production tuning knob)
+    fm2 = ALI_FMM(veln, velpn, vel_map, scx, scz, dnx=dnx,
+                  solve_opts=dict(final_rel_tol=2e-3, sweep_block=4))
+    assert fm2._cfg.final_rel_tol == 2e-3
+    assert fm2._cfg.sweep_block == 4
+    with pytest.raises(TypeError):
+        ALI_FMM(veln, velpn, vel_map, scx, scz, dnx=dnx,
+                solve_opts=dict(not_a_knob=1))
 
 
 def test_update_and_update_i(small_setup):
