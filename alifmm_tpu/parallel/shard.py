@@ -201,6 +201,23 @@ def solve_halo_sharded(
     ICI; ``polish`` replace-phase rounds follow.  Intended for grids larger
     than one chip's memory (SURVEY.md section 5: grid-size is the scale
     axis).
+
+    Sizing ``n_outer``: halos are exchanged after every directional sweep,
+    so causal information crosses at most one slab boundary per exchange
+    (4 per inner round).  Budget ``n_outer * n_inner >= n_slabs + margin``
+    where the margin covers characteristics that re-cross slab boundaries
+    (a few rounds for smooth media, more for strongly curved anisotropic
+    wavefronts); the default budget is sized for ~8 slabs.
+
+    Accuracy vs single-device global sweeps is numerics-sensitive: on some
+    hosts the decomposition reaches the identical fixpoint (0.0 max
+    deviation measured at ``n_outer=16, n_inner=1, polish=8`` on 4 slabs),
+    on others fp-rounding differences in the compiled update flip ALI
+    stencil tie-breaks and the slab-parallel iteration min-locks localized
+    pockets up to ~11% (median stays <1%); raising the budget does not
+    melt such a pocket once locked (bench_data/diag_halo.py,
+    FINDINGS_r2.md).  Fields feeding ray tracing should therefore prefer
+    the single-chip solver when the grid fits one chip.
     """
     nd = mesh.devices.size
     Z = tt0.shape[-2]

@@ -13,7 +13,36 @@ import os
 import numpy as np
 
 __all__ = ["save_fields", "load_fields", "save_rays", "load_rays",
-           "enable_compile_cache"]
+           "enable_compile_cache", "host_cache_key"]
+
+
+def host_cache_key() -> str:
+    """Short fingerprint of this host's CPU feature set.
+
+    XLA:CPU persistent-cache entries embed AOT machine code specialised
+    to the *compiling* host's CPU features, but jax's cache key does not
+    include those features: a cache written on one machine can be loaded
+    on another where XLA only warns ("Machine type used for XLA:CPU
+    compilation doesn't match... could lead to execution errors such as
+    SIGILL") and may then compute silently wrong results.  Measured here:
+    a halo-sharded solve read through a foreign cache came out up to 11%
+    off the identical freshly-compiled program (bench_data/diag_halo.py
+    history).  Keying the cache *directory* by the CPU feature set makes
+    entries host-compatible by construction.
+    """
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            lines = f.read().splitlines()
+        model = next((ln for ln in lines if ln.startswith("model name")), "")
+        flags = next((ln for ln in lines if ln.startswith("flags")), "")
+        basis = model + "|" + flags
+    except OSError:
+        import platform
+
+        basis = platform.processor() + "|" + platform.machine()
+    return hashlib.sha1(basis.encode()).hexdigest()[:12]
 
 
 def enable_compile_cache(cache_dir=None, min_compile_secs=2.0):
@@ -26,7 +55,11 @@ def enable_compile_cache(cache_dir=None, min_compile_secs=2.0):
     JAX_COMPILATION_CACHE_DIR env var, hence the config route.
 
     ``cache_dir`` defaults to ``~/.cache/alifmm_tpu/jax`` (or
-    $JAX_COMPILATION_CACHE_DIR if set).
+    $JAX_COMPILATION_CACHE_DIR if set).  The cache lives in a
+    ``host-<cpu-fingerprint>`` subdirectory so XLA:CPU AOT entries are
+    never shared across hosts with different CPU features (see
+    ``host_cache_key``); TPU entries are unaffected beyond a re-compile
+    per distinct client host.
     """
     import jax
 
@@ -37,6 +70,7 @@ def enable_compile_cache(cache_dir=None, min_compile_secs=2.0):
             os.path.expanduser("~"), ".cache", "alifmm_tpu", "jax"
         )
     )
+    cache_dir = os.path.join(cache_dir, f"host-{host_cache_key()}")
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update(

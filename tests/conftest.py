@@ -26,5 +26,14 @@ assert jax.devices()[0].platform == "cpu", jax.devices()
 
 # Persistent compilation cache: the solver's sweep bodies are large and the
 # first compile is minutes on CPU; subsequent test runs hit the disk cache.
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+# Host-keyed subdir: XLA:CPU AOT cache entries are machine-code specialised
+# to the compiling host's CPU features, and loading a foreign host's entry
+# can compute silently WRONG results (measured: halo-sharded fields 11% off
+# through a foreign cache; utils/io.host_cache_key docstring).
+from alifmm_tpu.utils.io import host_cache_key  # noqa: E402
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    f"/root/repo/.jax_cache/host-{host_cache_key()}",
+)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
