@@ -210,14 +210,21 @@ def solve_halo_sharded(
     wavefronts); the default budget is sized for ~8 slabs.
 
     Accuracy vs single-device global sweeps is numerics-sensitive: on some
-    hosts the decomposition reaches the identical fixpoint (0.0 max
-    deviation measured at ``n_outer=16, n_inner=1, polish=8`` on 4 slabs),
-    on others fp-rounding differences in the compiled update flip ALI
-    stencil tie-breaks and the slab-parallel iteration min-locks localized
-    pockets up to ~11% (median stays <1%); raising the budget does not
-    melt such a pocket once locked (bench_data/diag_halo.py,
-    FINDINGS_r2.md).  Fields feeding ray tracing should therefore prefer
-    the single-chip solver when the grid fits one chip.
+    hosts the decomposition reaches the identical fixpoint, on others
+    fp-rounding differences flip ALI stencil tie-breaks and the two
+    converge to slightly different (equally valid) discrete solutions,
+    independent of budget.  Measured on the divergent host (4 slabs,
+    32x40, f64; bench_data/diag_halo.py, FINDINGS_r2.md): for isotropic
+    media the differences concentrate in the near-source discretization
+    zone -- relative gaps up to ~11% within ~10 cells of the source where
+    t -> 0, but in ABSOLUTE terms max 2.1e-7 on a 3.6e-6 s scale, and the
+    sharded field is as close to the analytic solution as the
+    single-device field (2.0e-7 vs 1.5e-7 max |err|); beyond 10 cells
+    agreement is within 3.3%.  Near-source accuracy in production comes
+    from the telescoped source refinement (solver.solve_ttf), not raw
+    sweeps, on either path.  Strongly anisotropic shear modes (qSV cusps)
+    show larger scattered tie-break deviations (up to ~0.3 relative);
+    prefer the single-chip solver when the grid fits one chip.
     """
     nd = mesh.devices.size
     Z = tt0.shape[-2]

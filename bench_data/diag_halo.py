@@ -101,9 +101,45 @@ def main_aniso():
                   flush=True)
 
 
+def main_pocket():
+    """Characterise the host-dependent 'pockets': location, sign, absolute
+    scale, and distance-split agreement, vs the analytic constant-velocity
+    truth (run on the divergent host; see FINDINGS_r2.md 'halo')."""
+    model = _model(Z=32, X=40)
+    Z, X, dnx, v0, sz, sx = 32, 40, 1e-3, 3000.0, 16, 20
+    tt0 = jnp.full((Z, X), INF, jnp.float64).at[sz, sx].set(0.0)
+    fixed = jnp.zeros((Z, X), bool).at[sz, sx].set(True)
+    single, _ = sweep.solve_fixpoint(
+        tt0, model, fixed, rel_tol=1e-12, max_passes=40, polish_passes=8)
+    single = np.asarray(single)
+    mesh = Mesh(np.array(jax.devices()[:4]), ("gz",))
+    out = np.asarray(shard.solve_halo_sharded(
+        tt0, model, fixed, mesh, n_outer=16, n_inner=1, polish=8))
+    zz, xx = np.meshgrid(np.arange(Z), np.arange(X), indexing="ij")
+    truth = np.hypot(zz - sz, xx - sx) * dnx / v0
+    dist = np.hypot(zz - sz, xx - sx)
+    diff = out - single
+    rel = np.abs(diff) / np.maximum(single, 1e-30)
+    interior = (zz >= 2) & (zz < Z - 2) & (xx >= 2) & (xx < X - 2)
+    far = interior & (dist > 10)
+    near = interior & (dist <= 10) & (dist > 0)
+    bad = rel > 3e-2
+    print(f"signed diff: min {diff.min():.3e} max {diff.max():.3e}")
+    print(f"cells rel>3e-2: {bad.sum()} (all within dist<=11 of source)")
+    print(f"far (dist>10) relmax {rel[far].max():.3e}")
+    print(f"near |abs|max {np.abs(diff)[near].max():.3e} "
+          f"on t-scale {single[near].max():.3e}")
+    if bad.any():
+        print("pocket |err vs analytic|: sharded "
+              f"{np.abs(out - truth)[bad].max():.3e} single "
+              f"{np.abs(single - truth)[bad].max():.3e}")
+
+
 if __name__ == "__main__":
     import os as _os
     if _os.environ.get("ANISO") == "1":
         main_aniso()
+    elif _os.environ.get("POCKET") == "1":
+        main_pocket()
     else:
         main()
