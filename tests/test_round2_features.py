@@ -158,3 +158,39 @@ def test_relax_quad3_close_to_quad5(model):
                             relax_iters=2, relax_quad=3, **kw)[3]
     t5, t3 = float(t5[0]), float(t3[0])
     assert abs(t3 - t5) / t5 < 1e-2
+
+
+def test_plot_rays_example_smoke(tmp_path):
+    """C33 (plot_rays.py) smoke: the example renders saved ray buffers to
+    PNG without a display (reference plot_rays.py:1-43)."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "plot_rays_example",
+        os.path.join(os.path.dirname(__file__), "..", "examples",
+                     "plot_rays.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    if not os.path.isdir(mod.REF):
+        import pytest
+
+        pytest.skip("reference weld arrays not mounted")
+
+    rng = np.random.default_rng(0)
+    n, L = 3, 16
+    ray_x = rng.uniform(0, 499, (n, n, L))
+    ray_y = rng.uniform(0, 423, (n, n, L))
+    ray_len = np.zeros((n, n), dtype=int)
+    ray_len[0, 1] = L
+    ray_len[0, 2] = L // 2
+    in_dir = tmp_path / "rays"
+    in_dir.mkdir()
+    np.save(in_dir / "ray_paths_x.npy", ray_x)
+    np.save(in_dir / "ray_paths_y.npy", ray_y)
+    np.save(in_dir / "ray_len.npy", ray_len)
+    out = tmp_path / "png"
+    out.mkdir()
+    mod.main(in_dir=str(in_dir), save_to=str(out))
+    assert (out / "rays_src0.png").exists()
