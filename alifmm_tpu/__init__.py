@@ -11,4 +11,9 @@ from .api import ALI_FMM  # noqa: F401
 from .grid import Model, make_model, refine_model  # noqa: F401
 from .solver import SolveConfig, solve_ttf  # noqa: F401
 
+# Global progress-bar kill switch, mirroring the reference's module-level
+# tqdm_disable flag (Anis_TTF_rays.py:22-24).  True silences the stage /
+# ray bars shown by ALI_FMM.update and find_all_TTF_rays(_parallel).
+tqdm_disable = False
+
 __version__ = "0.1.0"

@@ -36,6 +36,7 @@ from . import grid as gridlib
 from . import materials as mats
 from . import rays as rayslib
 from . import solver as solverlib
+from .utils import progress as progresslib
 from .utils import validate
 
 __all__ = ["ALI_FMM"]
@@ -62,6 +63,8 @@ class ALI_FMM:
         ttf_mode="interp",
         ray_opts=None,
         solve_opts=None,
+        grid_mesh=None,
+        grid_axis="gz",
     ):
         # --- validation, matching Anis_TTF_rays.py:3818-3838 --------------
         self.stif_den = stif_den
@@ -137,6 +140,12 @@ class ALI_FMM:
         # tuning is e.g. dict(final_rel_tol=2e-3, final_polish_passes=3,
         # sweep_block=4) (bench.py SOLVE_KW)
         self._cfg = solverlib.SolveConfig(**dict(solve_opts or {}))
+        # Optional jax.sharding.Mesh for grids larger than one chip: every
+        # travel-time solve then runs the telescoped halo-exchange path
+        # (parallel.shard.solve_ttf_halo) with the grid z-decomposed over
+        # ``grid_axis``.  None (default) = single-chip batched solves.
+        self._grid_mesh = grid_mesh
+        self._grid_axis = grid_axis
 
     # ------------------------------------------------------------------ #
     # model assembly
@@ -156,6 +165,20 @@ class ALI_FMM:
             dtype=self._dtype,
         )
 
+    def _solve_fields(self, model, scx, scz, subgrid_size, progress=None):
+        """Dispatch a batched TTF solve: single-chip vmapped pipeline, or
+        the telescoped halo-exchange path when a grid mesh was given."""
+        if self._grid_mesh is not None:
+            from .parallel import shard
+
+            return shard.solve_ttf_halo(
+                model, scx, scz, self._grid_mesh, axis=self._grid_axis,
+                subgrid_size=int(subgrid_size), cfg=self._cfg,
+            )
+        return solverlib.solve_ttf(
+            model, scx, scz, int(subgrid_size), self._cfg, progress=progress
+        )
+
     # ------------------------------------------------------------------ #
     # travel-time fields
     # ------------------------------------------------------------------ #
@@ -168,8 +191,9 @@ class ALI_FMM:
             sources = np.ones(self.nsrc, dtype=int)
         sources = np.asarray(sources)
         sel = np.nonzero(sources == 1)[0]
-        out_fields = solverlib.solve_ttf(
-            model, self.scx[sel], self.scz[sel], int(subgrid_size), self._cfg
+        out_fields = self._solve_fields(
+            model, self.scx[sel], self.scz[sel], subgrid_size,
+            progress=progresslib.auto_bar(f"TTF solve ({len(sel)} sources)"),
         )
         out_fields = np.asarray(out_fields, dtype=np.float64)
         full = np.zeros((self.nsrc,) + out_fields.shape[1:])
@@ -200,12 +224,11 @@ class ALI_FMM:
         """Single-source field (ALI_FMM.update_i,
         Anis_TTF_rays.py:4053-4088)."""
         model = self._make_model(veln, velpn, vel_map, stif_den)
-        out = solverlib.solve_ttf(
+        out = self._solve_fields(
             model,
             self.scx[source_i : source_i + 1],
             self.scz[source_i : source_i + 1],
-            int(subgrid_size),
-            self._cfg,
+            subgrid_size,
         )
         return np.asarray(out, dtype=np.float64)[0]
 
@@ -291,15 +314,15 @@ class ALI_FMM:
         trans_pairs = np.asarray(trans_pairs)
         rec_idx = np.nonzero(trans_pairs.sum(axis=0) > 0)[0]
 
-        # receiver travel-time fields, batched on device
-        if self._ttf_mode == "grid":
-            ttfs = solverlib.solve_ttf(
-                model, self.scx[rec_idx], self.scz[rec_idx], s, self._cfg
-            )
-        else:
-            ttfs = solverlib.solve_ttf(
-                model, self.scx[rec_idx], self.scz[rec_idx], 1, self._cfg
-            )
+        # receiver travel-time fields, batched on device (stage bar =
+        # the reference's TTF tqdm bar, Anis_TTF_rays.py:4645)
+        ttf_bar = progresslib.auto_bar(
+            f"TTF solve ({len(rec_idx)} receivers)"
+        )
+        ttfs = self._solve_fields(
+            model, self.scx[rec_idx], self.scz[rec_idx],
+            s if self._ttf_mode == "grid" else 1, progress=ttf_bar,
+        )
         rec_pos = {j: k for k, j in enumerate(rec_idx)}
 
         pair_i, pair_j = np.nonzero(trans_pairs == 1)
@@ -326,6 +349,14 @@ class ALI_FMM:
             "auto": rayslib.trace_rays_auto,
         }[tracer]
         opts = self._route_ray_opts(tracer, trace_fn, opts)
+        # single batched trace; the bar completes in one tick with the
+        # wall time as postfix (reference rays bar, Anis_TTF_rays.py:4646)
+        import time as _time
+
+        ray_bar = progresslib.progress_bar(
+            len(pair_i), f"rays ({len(pair_i)} pairs)"
+        )
+        _t0 = _time.perf_counter()
         rx, ry, lens, times = trace_fn(
             model,
             ttfs,
@@ -336,6 +367,10 @@ class ALI_FMM:
             mode=self._ttf_mode,
             **opts,
         )
+        jax.block_until_ready(times)
+        ray_bar.set_postfix_str(f"{_time.perf_counter() - _t0:.2f}s")
+        ray_bar.update(len(pair_i))
+        ray_bar.close()
         rx = np.asarray(rx, dtype=np.float64)
         ry = np.asarray(ry, dtype=np.float64)
         lens = np.asarray(lens)

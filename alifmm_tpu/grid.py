@@ -355,6 +355,7 @@ def make_model(
     phase_tab=None,
     dnx=1e-3,
     dtype=jnp.float32,
+    device=True,
 ) -> Model:
     """Assemble a Model (with precomputed fallback-slowness planes).
 
@@ -362,6 +363,13 @@ def make_model(
     host-side in numpy -- a one-off O(grid) job that must not dispatch
     op-by-op to a (possibly remote) accelerator or pay a jit compile --
     and only the finished planes are transferred to the device.
+
+    ``device=False`` keeps every field a host numpy array (no device_put
+    at all): jit tracing/lowering over such a model never touches the
+    accelerator, which matters for AOT compile checks in processes whose
+    device runtime may be broken (e.g. a libtpu client/terminal version
+    skew -- see MULTICHIP_r0*.json); transfers then happen lazily at
+    first execution.
     """
     npdt = np.dtype(dtype)
     veln_np = np.asarray(veln).astype(npdt)
@@ -393,18 +401,24 @@ def make_model(
     group_info = mat.column_info(group_tab_np, used)
     ray_info = mat.column_info(curves, np.unique(curve_idx))
     skew_info = mat.column_info(skew, np.unique(curve_idx))
+    if device:
+        put = jnp.asarray
+    else:
+        def put(a, dtype=None):
+            a = np.asarray(a)
+            return a if dtype is None else a.astype(dtype)
     return Model(
-        veln=jnp.asarray(veln_np),
-        velpn=jnp.asarray(velpn_np),
-        vel_map=jnp.asarray(vel_map_np),
-        stif=jnp.asarray(stif_np),
-        group_tab=jnp.asarray(group_tab_np),
-        phase_tab=jnp.asarray(phase_tab_np),
-        fallback_slowness=jnp.asarray(fb),
-        dnx=jnp.asarray(dnx, dtype=dtype),
-        ray_curves=jnp.asarray(curves, dtype=dtype),
-        ray_curve_idx=jnp.asarray(curve_idx),
-        ray_skew=jnp.asarray(skew, dtype=dtype),
+        veln=put(veln_np),
+        velpn=put(velpn_np),
+        vel_map=put(vel_map_np),
+        stif=put(stif_np),
+        group_tab=put(group_tab_np),
+        phase_tab=put(phase_tab_np),
+        fallback_slowness=put(fb),
+        dnx=put(np.asarray(dnx, dtype=npdt)),
+        ray_curves=put(curves, dtype=dtype),
+        ray_curve_idx=put(curve_idx),
+        ray_skew=put(skew, dtype=dtype),
         has_stif=has_stif,
         phase_info=phase_info,
         group_info=group_info,

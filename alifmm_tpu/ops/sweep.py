@@ -26,6 +26,8 @@ sweep axis; both phases run inside a single ``lax.while_loop``.
 
 from __future__ import annotations
 
+import typing
+
 import jax
 import jax.numpy as jnp
 
@@ -33,7 +35,18 @@ from .. import grid as gridlib
 from . import stencils
 from .stencils import INF, OFFSETS
 
-__all__ = ["gs_pass", "solve_fixpoint", "jacobi_pass"]
+__all__ = ["gs_pass", "solve_fixpoint", "jacobi_pass", "SolveInfo"]
+
+
+class SolveInfo(typing.NamedTuple):
+    """Convergence record of one solve_fixpoint call (a jit-transparent
+    pytree).  ``passes``: phase-1 sweep passes actually run; ``converged``:
+    whether the phase-1 delta dropped below rel_tol before max_passes
+    (False means the returned field may still be improvable -- e.g. qSV
+    solves need far larger budgets than qP, see SolveConfig.for_mode)."""
+
+    passes: jnp.ndarray
+    converged: jnp.ndarray
 
 
 def _width_masks(W, off=0, total=None):
@@ -634,17 +647,17 @@ def solve_fixpoint(
     its own while_loop and the replace-mode polish runs STRICTLY ordered
     in a second loop (see the gs_pass caveat: all-parallel polish settles
     at a different self-consistent field; ordered polish restores the
-    validated heap-march values).  Returns (field, phase-1 pass count).
+    validated heap-march values).  Returns (field, SolveInfo).
     """
     max_passes = jnp.asarray(max_passes)
 
     if inner:
         def cond1(state):
-            tt, prev, k = state
+            tt, prev, k, conv = state
             return k < max_passes
 
         def body1(state):
-            tt, prev, k = state
+            tt, prev, k, conv = state
             new = gs_pass(tt, model, fixed, replace=False, block=block,
                           inner=inner)
             known = new < INF * 0.5
@@ -654,11 +667,13 @@ def solve_fixpoint(
             scale = jnp.max(jnp.where(known, new, 0.0))
             converged = delta <= rel_tol * jnp.maximum(scale, 1e-30)
             k1 = k + 1
-            k1 = jnp.where(converged & (k1 >= min_passes), max_passes, k1)
-            return (new, tt, k1)
+            stop = converged & (k1 >= min_passes)
+            k1 = jnp.where(stop, max_passes, k1)
+            return (new, tt, k1, conv | stop)
 
-        tt, _, _ = jax.lax.while_loop(
-            cond1, body1, (tt0, tt0 + 1.0, jnp.asarray(0))
+        tt, _, _, conv = jax.lax.while_loop(
+            cond1, body1, (tt0, tt0 + 1.0, jnp.asarray(0),
+                           jnp.asarray(False))
         )
 
         def body2(_, tt):
@@ -666,14 +681,14 @@ def solve_fixpoint(
                            inner=0)
 
         tt = jax.lax.fori_loop(0, polish_passes, body2, tt)
-        return tt, jnp.asarray(0)
+        return tt, SolveInfo(passes=max_passes, converged=conv)
 
     def cond(state):
-        tt, prev, k, phase = state
+        tt, prev, k, phase, n1, conv = state
         return ~((phase >= 1) & (k >= polish_passes))
 
     def body(state):
-        tt, prev, k, phase = state
+        tt, prev, k, phase, n1, conv = state
         new = gs_pass(tt, model, fixed, replace=(phase == 1), block=block)
         known = new < INF * 0.5
         delta = jnp.max(
@@ -685,8 +700,11 @@ def solve_fixpoint(
         done1 = (phase == 0) & ((k1 >= max_passes) | (converged & (k1 >= min_passes)))
         new_phase = jnp.where(done1, 1, phase)
         new_k = jnp.where(done1, 0, k1)
-        return (new, tt, new_k, new_phase)
+        n1 = jnp.where(done1, k1, n1)
+        conv = jnp.where(done1, converged, conv)
+        return (new, tt, new_k, new_phase, n1, conv)
 
-    init = (tt0, tt0 + 1.0, jnp.asarray(0), jnp.asarray(0))
-    tt, _, _, _ = jax.lax.while_loop(cond, body, init)
-    return tt, jnp.asarray(0)
+    init = (tt0, tt0 + 1.0, jnp.asarray(0), jnp.asarray(0), jnp.asarray(0),
+            jnp.asarray(False))
+    tt, _, _, _, n1, conv = jax.lax.while_loop(cond, body, init)
+    return tt, SolveInfo(passes=n1, converged=conv)

@@ -40,6 +40,7 @@ __all__ = [
     "solve_ttf_sharded",
     "trace_rays_sharded",
     "solve_halo_sharded",
+    "solve_ttf_halo",
     "pad_sources",
 ]
 
@@ -132,9 +133,131 @@ def trace_rays_sharded(
     return rx[:n], ry[:n], lens[:n], times[:n]
 
 
+def solve_ttf_halo(
+    model: gridlib.Model,
+    scx,
+    scz,
+    mesh: Mesh,
+    axis: str = "gz",
+    subgrid_size: int = 1,
+    cfg: solverlib.SolveConfig = solverlib.SolveConfig(),
+    n_inner: int = 1,
+    return_info: bool = False,
+    stages=None,
+    seed_side=None,
+):
+    """Telescoped travel-time solve with the GRID sharded across ``mesh``.
+
+    The production large-grid path: per-source telescoping patch stages
+    (27x/9x/3x) run replicated -- they are tiny (109x109) -- and their
+    stride-3 injection seeds the final full-grid stage, which runs as the
+    residual-driven halo-exchange solve (solve_halo_sharded) on the
+    z-decomposed grid.  This gives the sharded path the same near-source
+    accuracy as the single-chip solver (the raw-sweep-only limitation of
+    round 2 is gone).
+
+    ``scx``/``scz``: 1D source-coordinate batch (replicated).  Grids whose
+    Z is not a multiple of the mesh size are edge-padded with fixed INF
+    rows and cropped on return.  Returns (n_src, Z, X) fields [+ SolveInfo
+    with ``return_info=True``].
+    """
+    if subgrid_size == 1:
+        base = model
+        if stages is None:
+            stages = solverlib._COARSE_STAGES
+            seed_side = solverlib._COARSE_SEED_SIDE
+        seed_sign = solverlib._COARSE_SEED_SIGN
+    else:
+        base = gridlib.refine_model(model, subgrid_size,
+                                    dtype=model.vel_map.dtype)
+        if stages is None:
+            stages, seed_side = solverlib.fine_stage_params(subgrid_size)
+        seed_sign = +1.0
+    scx = jnp.asarray(scx)
+    scz = jnp.asarray(scz)
+    Z, X = base.shape
+    dtype = base.vel_map.dtype
+
+    # replicated telescoping patch stages (solver stage pipeline)
+    (h0, f0) = stages[0]
+    tt, bz, bx = solverlib._stage_first(
+        base, scx, scz, h0, f0, seed_side, float(seed_sign), cfg
+    )
+    for (h, f) in stages[1:]:
+        tt, bz, bx = solverlib._stage_next(base, scx, scz, tt, bz, bx, h, f,
+                                           cfg)
+
+    @jax.jit
+    def inject(tt, bz, bx):
+        def one(ptt, pbz, pbx):
+            return solverlib._inject(
+                ptt, (pbz, pbx), 3, (Z, X), (0, 0), 1, dtype, (Z, X)
+            )
+
+        return jax.vmap(one)(tt, bz, bx)
+
+    tt0, fixed = inject(tt, bz, bx)
+
+    # pad Z to a slab multiple: INF rows marked fixed, edge materials
+    nd = mesh.devices.size
+    pad_rows = (-Z) % nd
+    mdl = base
+    if pad_rows:
+        def padp(a, mode="edge"):
+            cfg_p = [(0, pad_rows)] + [(0, 0)] * (a.ndim - 1)
+            return jnp.pad(a, cfg_p, mode=mode)
+
+        mdl = gridlib.Model(
+            veln=padp(base.veln),
+            velpn=padp(base.velpn),
+            vel_map=padp(base.vel_map),
+            stif=padp(base.stif),
+            group_tab=base.group_tab,
+            phase_tab=base.phase_tab,
+            fallback_slowness=jnp.pad(
+                base.fallback_slowness,
+                ((0, 0), (0, pad_rows), (0, 0)), mode="edge",
+            ),
+            dnx=base.dnx,
+            ray_curves=None,
+            ray_curve_idx=None,
+            ray_skew=None,
+            has_stif=base.has_stif,
+            phase_info=base.phase_info,
+            group_info=base.group_info,
+            ray_info=None,
+        )
+        tt0 = jnp.pad(tt0, ((0, 0), (0, pad_rows), (0, 0)),
+                      constant_values=INF)
+        fixed = jnp.pad(fixed, ((0, 0), (0, pad_rows), (0, 0)),
+                        constant_values=True)
+
+    f_tol = cfg.rel_tol if cfg.final_rel_tol is None else cfg.final_rel_tol
+    f_pol = (cfg.polish_passes if cfg.final_polish_passes is None
+             else cfg.final_polish_passes)
+    out, info = solve_halo_sharded(
+        tt0, mdl, fixed, mesh, axis=axis, n_inner=n_inner, polish=f_pol,
+        rel_tol=f_tol, max_outer=cfg.final_max_passes,
+        max_polish=max(cfg.final_max_passes, 4 * f_pol),
+        return_info=True, z_true=Z if pad_rows else None,
+    )
+    out = out[..., :Z, :]
+    if return_info:
+        return out, info
+    return out
+
+
 def _halo_jacobi_block(tt, model_blk: gridlib.Model, fixed, n_inner, axis,
-                       z_total, replace=False):
-    """n_inner line-sweep passes on a slab, then a 2-row halo exchange."""
+                       z_total, replace=False, z_true=None):
+    """n_inner line-sweep passes on a slab, then a 2-row halo exchange.
+
+    ``z_total``: padded global Z (slab layout); ``z_true``: the real grid's
+    Z for boundary/in-bounds semantics when rows were padded to a slab
+    multiple (padded rows are fixed INF and masked out-of-bounds so edge
+    stencils at the true bottom row behave exactly like the unsharded
+    solve).
+    """
+    z_true = z_total if z_true is None else z_true
 
     def exchange(t):
         up = jax.lax.ppermute(
@@ -163,8 +286,8 @@ def _halo_jacobi_block(tt, model_blk: gridlib.Model, fixed, n_inner, axis,
     # Global grid coordinates of this (2-row-padded) slab, so boundary and
     # in-bounds stencil semantics match the unsharded grid exactly.
     goff = jax.lax.axis_index(axis) * (z_total // jax.lax.axis_size(axis)) - 2
-    zkw = dict(scan_off=goff, scan_total=z_total)
-    xkw = dict(width_off=goff, width_total=z_total)
+    zkw = dict(scan_off=goff, scan_total=z_true)
+    xkw = dict(width_off=goff, width_total=z_true)
     for _ in range(n_inner):
         # exchange after every directional sweep so information crosses one
         # slab per sweep rather than one per pass
@@ -192,61 +315,71 @@ def solve_halo_sharded(
     n_outer: int = 8,
     n_inner: int = 2,
     polish: int = 2,
+    rel_tol: float | None = None,
+    max_outer: int = 64,
+    max_polish: int = 16,
+    return_info: bool = False,
+    z_true: int | None = None,
 ):
     """Fixpoint solve on a z-sharded grid with 2-cell halo exchange.
 
-    ``tt0``/``fixed`` are (Z, X) with Z divisible by the mesh size; the
-    model's planes are sharded the same way.  Each outer round runs
-    ``n_inner`` local Gauss-Seidel passes per slab and exchanges halos over
-    ICI; ``polish`` replace-phase rounds follow.  Intended for grids larger
-    than one chip's memory (SURVEY.md section 5: grid-size is the scale
-    axis).
+    ``tt0``/``fixed`` are (Z, X) -- or batched (B, Z, X) with the batch
+    replicated -- with Z divisible by the mesh size; the model's planes
+    are sharded the same way.  Intended for grids larger than one chip's
+    memory (SURVEY.md section 5: grid-size is the scale axis).
 
-    Sizing ``n_outer``: halos are exchanged after every directional sweep,
-    so causal information crosses at most one slab boundary per exchange
-    (4 per inner round).  Budget ``n_outer * n_inner >= n_slabs + margin``
-    where the margin covers characteristics that re-cross slab boundaries
-    (a few rounds for smooth media, more for strongly curved anisotropic
-    wavefronts); the default budget is sized for ~8 slabs.
+    Stopping rule:
 
-    Accuracy vs single-device global sweeps is numerics-sensitive: on some
-    hosts the decomposition reaches the identical fixpoint, on others
-    fp-rounding differences flip ALI stencil tie-breaks and the two
-    converge to slightly different (equally valid) discrete solutions,
-    independent of budget.  Measured on the divergent host (4 slabs,
-    32x40, f64; bench_data/diag_halo.py, FINDINGS_r2.md): for isotropic
-    media the differences concentrate in the near-source discretization
-    zone -- relative gaps up to ~11% within ~10 cells of the source where
-    t -> 0, but in ABSOLUTE terms max 2.1e-7 on a 3.6e-6 s scale, and the
-    sharded field is as close to the analytic solution as the
-    single-device field (2.0e-7 vs 1.5e-7 max |err|); beyond 10 cells
-    agreement is within 3.3%.  Near-source accuracy in production comes
-    from the telescoped source refinement (solver.solve_ttf), not raw
-    sweeps, on either path.  Strongly anisotropic shear modes (qSV cusps)
-    show larger scattered tie-break deviations (up to ~0.3 relative);
-    prefer the single-chip solver when the grid fits one chip.
+    * ``rel_tol=None`` (legacy): a fixed budget of ``n_outer`` min-phase
+      rounds plus ``polish`` replace-phase rounds.  Sizing: halos are
+      exchanged after every directional sweep, so causal information
+      crosses at most one slab boundary per exchange (4 per inner round);
+      budget ``n_outer * n_inner >= n_slabs + margin``.
+    * ``rel_tol=r`` (production): residual-driven two-phase while_loop --
+      min-phase rounds until the global (pmax over shards) pass-to-pass
+      delta drops below ``r * max(tt)`` or ``max_outer`` rounds, then
+      replace-phase polish rounds under the same test bounded by
+      ``max_polish`` (at least ``polish`` rounds).  Running the replace
+      phase to ITS OWN fixpoint (not a fixed count) is what pins the
+      decomposed solve onto the same field as the single-device sweeps:
+      transient-history tie-flips then have the full contraction to wash
+      out (see tests/test_shard.py envelopes).
+
+    ``return_info=True`` appends a sweep.SolveInfo(outer passes,
+    converged) diagnostic.
+
+    Remaining single-device deviation is tie-break-level: fp rounding can
+    flip ALI stencil selection between two equally valid discrete
+    solutions near stencil ties (measured round 2: absolute gaps at the
+    1e-7 level on 1e-6 s fields for isotropic media; larger scattered
+    deviations only for unconverged qSV budgets -- fixed by rel_tol +
+    SolveConfig.for_mode budgets).
     """
     nd = mesh.devices.size
     Z = tt0.shape[-2]
     assert Z % nd == 0, (Z, nd)
+    batched = tt0.ndim == 3
 
-    spec_grid = P(axis, None)
+    spec_grid = P(axis, None) if not batched else P(None, axis, None)
+    spec_plane = P(axis, None)
     spec_stif = P(axis, None, None)
     spec_fb = P(None, axis, None)
 
-    def pad2(t):
-        return jnp.pad(t, ((2, 2), (0, 0)), constant_values=INF)
+    def padz(t, val):
+        cfg = [(0, 0)] * (t.ndim - 2) + [(2, 2), (0, 0)]
+        return jnp.pad(t, cfg, constant_values=val)
 
     def local(tt, fixed, veln, velpn, vel_map, stif, fbs, dnx, gtab, ptab):
         # slab model with 2-row halos
         def padm(a, val=0.0):
-            return jnp.pad(a, ((2, 2), (0, 0)), constant_values=val)
+            cfg = [(2, 2)] + [(0, 0)] * (a.ndim - 1)
+            return jnp.pad(a, cfg, constant_values=val)
 
         blk = gridlib.Model(
             veln=padm(veln),
-            velpn=jnp.pad(velpn, ((2, 2), (0, 0)), constant_values=1),
+            velpn=padm(velpn, 1),
             vel_map=padm(vel_map, 1.0),
-            stif=jnp.pad(stif, ((2, 2), (0, 0), (0, 0)), constant_values=1),
+            stif=padm(stif, 1),
             group_tab=gtab,
             phase_tab=ptab,
             fallback_slowness=jnp.pad(
@@ -261,33 +394,100 @@ def solve_halo_sharded(
             group_info=model.group_info,
             ray_info=None,
         )
-        t = pad2(tt)
-        f = jnp.pad(fixed, ((2, 2), (0, 0)), constant_values=True)
+        t = padz(tt, INF)
+        f = padz(fixed, True)
         # halo rows are marked fixed so local sweeps treat them as boundary
         # data; their values refresh from the neighbour slab each exchange.
-        # fori keeps one compiled sweep body regardless of round counts;
-        # rounds >= n_outer switch to the replace-polish phase.
-        t = jax.lax.fori_loop(
-            0,
-            n_outer + polish,
-            lambda k, t: _halo_jacobi_block(
-                t, blk, f, n_inner, axis, Z, replace=(k >= n_outer)
-            ),
-            t,
-        )
-        return t[2:-2]
+        if rel_tol is None:
+            # legacy fixed budget: one compiled sweep body via fori;
+            # rounds >= n_outer switch to the replace-polish phase.
+            t = jax.lax.fori_loop(
+                0,
+                n_outer + polish,
+                lambda k, t: _halo_jacobi_block(
+                    t, blk, f, n_inner, axis, Z, replace=(k >= n_outer),
+                    z_true=z_true,
+                ),
+                t,
+            )
+            info = sweep.SolveInfo(
+                passes=jnp.asarray(n_outer), converged=jnp.asarray(True)
+            )
+            return (t[..., 2:-2, :], info) if return_info else t[..., 2:-2, :]
 
+        def round_delta(new, old):
+            interior_new = new[..., 2:-2, :]
+            interior_old = old[..., 2:-2, :]
+            known = interior_new < INF * 0.5
+            d = jnp.max(
+                jnp.where(
+                    known | (interior_old < INF * 0.5),
+                    jnp.abs(interior_new - interior_old),
+                    0.0,
+                )
+            )
+            s = jnp.max(jnp.where(known, interior_new, 0.0))
+            # global agreement across slabs: every device sees the same
+            # (delta, scale), so the while_loop predicates stay uniform
+            d = jax.lax.pmax(d, axis)
+            s = jax.lax.pmax(s, axis)
+            return d, s
+
+        def cond(state):
+            t, k, phase, n1, conv = state
+            return ~((phase >= 1) & (k >= max_polish))
+
+        def body(state):
+            t, k, phase, n1, conv = state
+            new = _halo_jacobi_block(
+                t, blk, f, n_inner, axis, Z, replace=(phase == 1),
+                z_true=z_true,
+            )
+            d, s = round_delta(new, t)
+            converged = d <= rel_tol * jnp.maximum(s, 1e-30)
+            k1 = k + 1
+            # per-phase (cap, min-rounds): min phase runs >= 2 rounds up to
+            # max_outer; replace polish runs >= max(polish, 1) rounds up to
+            # max_polish -- each exits early once converged.
+            cap = jnp.where(phase == 0, max_outer, max_polish)
+            minp = jnp.where(phase == 0, 2, jnp.maximum(polish, 1))
+            done = (k1 >= cap) | (converged & (k1 >= minp))
+            adv = (phase == 0) & done
+            n1 = jnp.where(adv, k1, n1)
+            conv = jnp.where(adv, converged, conv)
+            new_phase = jnp.where(adv, 1, phase)
+            # on phase-2 done: force k to the cond bound to exit
+            k_next = jnp.where(
+                adv, 0, jnp.where(done & (phase == 1), max_polish, k1)
+            )
+            return (new, k_next, new_phase, n1, conv)
+
+        state = (
+            t, jnp.asarray(0), jnp.asarray(0), jnp.asarray(0),
+            jnp.asarray(False),
+        )
+        t, _, _, n1, conv = jax.lax.while_loop(cond, body, state)
+        info = sweep.SolveInfo(passes=n1, converged=conv)
+        return (t[..., 2:-2, :], info) if return_info else t[..., 2:-2, :]
+
+    out_specs = (
+        (spec_grid, (P(), P())) if return_info else spec_grid
+    )
     fn = jax.shard_map(
         local,
         mesh=mesh,
         in_specs=(
-            spec_grid, spec_grid, spec_grid, spec_grid, spec_grid,
+            spec_grid, spec_grid, spec_plane, spec_plane, spec_plane,
             spec_stif, spec_fb, P(), P(None, None), P(None, None),
         ),
-        out_specs=spec_grid,
+        out_specs=out_specs,
         check_vma=False,
     )
-    return jax.jit(fn)(
+    out = jax.jit(fn)(
         tt0, fixed, model.veln, model.velpn, model.vel_map, model.stif,
         model.fallback_slowness, model.dnx, model.group_tab, model.phase_tab,
     )
+    if return_info:
+        field, (n1, conv) = out
+        return field, sweep.SolveInfo(passes=n1, converged=conv)
+    return out

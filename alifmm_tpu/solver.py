@@ -91,6 +91,39 @@ class SolveConfig:
     sweep_inner: int = dataclasses.field(default=0, metadata=dict(static=True))
     patch_inner: int = dataclasses.field(default=0, metadata=dict(static=True))
 
+    @classmethod
+    def accuracy(cls, **overrides) -> "SolveConfig":
+        """Accuracy preset: tight phase-1 gate, generous pass budgets and
+        extra replace-mode polish.  Targets the BASELINE.md <= 1e-3
+        relative L-inf bound vs the reference heap march (see
+        tests/test_accuracy_mode.py); 2-3x slower than the default."""
+        kw = dict(rel_tol=2e-4, patch_max_passes=16, final_max_passes=32,
+                  polish_passes=8, final_rel_tol=2e-4,
+                  final_polish_passes=8)
+        kw.update(overrides)
+        return cls(**kw)
+
+    @classmethod
+    def for_mode(cls, mode: str = "qp", **overrides) -> "SolveConfig":
+        """Budget preset per wave mode.
+
+        Shear modes converge far slower than qP under the line sweeps
+        (the qSV group curve's cusps bend characteristics repeatedly
+        across sweep directions): single-device qSV measured ~80 passes
+        to settle vs < 16 for qP (bench_data/FINDINGS_r2.md), so "qsv" /
+        "qsh" get a 96-pass budget and extra polish.  Check the returned
+        SolveInfo.converged from solve_ttf(..., return_info=True)."""
+        m = mode.lower()
+        if m in ("qp", "p", "l"):
+            kw = {}
+        elif m in ("qsv", "qsh", "sv", "sh", "s", "t"):
+            kw = dict(patch_max_passes=24, final_max_passes=96,
+                      polish_passes=8, final_polish_passes=8)
+        else:
+            raise ValueError(f"unknown wave mode {mode!r}")
+        kw.update(overrides)
+        return cls(**kw)
+
 
 def _window_origin(center, half, n):
     """Clamped origin of a (2*half+1)-wide window around ``center``."""
@@ -324,6 +357,8 @@ def solve_ttf(
     scz,
     subgrid_size: int = 1,
     cfg: SolveConfig = SolveConfig(),
+    progress=None,
+    return_info=False,
 ):
     """Travel-time fields for a batch of sources (vmapped).
 
@@ -331,6 +366,21 @@ def solve_ttf(
     this is the parallel of ALI_FMM.update / travel(); with larger odd
     values the whole model is NN-refined first like travel_finer_grid().
     Returns (n_src, Zf, Xf).
+
+    ``progress``: optional callable ``progress(stage, total, name,
+    seconds)`` invoked after each telescoping stage completes (the
+    sweep-driver equivalent of the reference's per-source tqdm bars,
+    Anis_TTF_rays.py:3907).  When set, each stage is synchronised
+    (block_until_ready) so ``seconds`` is real wall-clock including any
+    compile -- leave None for production timing runs to keep dispatch
+    fully asynchronous.
+
+    ``return_info=True``: returns ``(fields, SolveInfo)`` where the info
+    records the final full-grid stage's phase-1 pass count and whether it
+    converged below ``cfg.final_rel_tol`` within ``cfg.final_max_passes``
+    -- the convergence signal the reference never surfaced.  Shear modes
+    (qSV) need far larger budgets than qP: check ``info.converged`` or
+    use ``SolveConfig.for_mode("qsv")``.
     """
     if subgrid_size == 1:
         base = model
@@ -345,7 +395,8 @@ def solve_ttf(
         stages, seed_side = fine_stage_params(subgrid_size)
         seed_sign = +1.0
     return _staged_solve(base, jnp.asarray(scx), jnp.asarray(scz), stages,
-                         seed_side, seed_sign, cfg)
+                         seed_side, seed_sign, cfg, progress=progress,
+                         return_info=return_info)
 
 
 # --------------------------------------------------------------------- #
@@ -522,13 +573,16 @@ def _stage_final(model, prev_tt, prev_bz, prev_bx, cfg, use_pallas=False):
             max_passes=cfg.final_max_passes,
             polish_passes=f_pol,
         )
-        return tt
-    tt, _ = sweep.solve_fixpoint(
+        return tt, sweep.SolveInfo(
+            passes=jnp.asarray(cfg.final_max_passes),
+            converged=jnp.asarray(True),
+        )
+    tt, info = sweep.solve_fixpoint(
         tt, model, fixed, rel_tol=f_tol,
         max_passes=cfg.final_max_passes, polish_passes=f_pol,
         block=cfg.sweep_block, inner=cfg.sweep_inner,
     )
-    return tt
+    return tt, info
 
 
 def _use_pallas(model) -> bool:
@@ -550,12 +604,33 @@ def _use_pallas(model) -> bool:
     )
 
 
-def _staged_solve(base, scx, scz, stages, seed_side, seed_sign, cfg):
+def _staged_solve(base, scx, scz, stages, seed_side, seed_sign, cfg,
+                  progress=None, return_info=False):
+    import time as _time
+
     up = _use_pallas(base)
+    total = len(stages) + 1
+
+    def note(k, name, tt, t0):
+        if progress is None:
+            return
+        tt.block_until_ready()
+        progress(stage=k, total=total, name=name,
+                 seconds=_time.perf_counter() - t0)
+
+    t0 = _time.perf_counter()
     (h0, f0) = stages[0]
     tt, bz, bx = _stage_first(base, scx, scz, h0, f0, seed_side,
                               float(seed_sign), cfg, use_pallas=up)
-    for (h, f) in stages[1:]:
+    note(1, f"patch {f0}x (half={h0})", tt, t0)
+    for k, (h, f) in enumerate(stages[1:], start=2):
+        t0 = _time.perf_counter()
         tt, bz, bx = _stage_next(base, scx, scz, tt, bz, bx, h, f, cfg,
                                  use_pallas=up)
-    return _stage_final(base, tt, bz, bx, cfg, use_pallas=up)
+        note(k, f"patch {f}x (half={h})", tt, t0)
+    t0 = _time.perf_counter()
+    out, info = _stage_final(base, tt, bz, bx, cfg, use_pallas=up)
+    note(total, "final full-grid", out, t0)
+    if return_info:
+        return out, info
+    return out

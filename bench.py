@@ -67,17 +67,54 @@ def _emit(value, vs_baseline, **extra):
 # --------------------------------------------------------------------- #
 
 
+def _validate_cache(cache_dir, log):
+    """Wipe AOT cache entries written under a different client/terminal
+    libtpu combination.
+
+    Round-2 post-mortem: the persistent cache is only valid for the exact
+    (jax, client libtpu, terminal libtpu) triple that wrote it -- a
+    rolling libtpu upgrade mid-round poisons every entry, and loading a
+    stale entry either raises FAILED_PRECONDITION (MULTICHIP_r0*.json) or
+    wedges the warm-up past the bench budget (BENCH_r02.json).  The
+    backend platform_version string carries both build stamps, so it is
+    the fingerprint; on mismatch we delete the stale entries and eat the
+    (shorter, known-size) cold compile instead of a wedged cache load.
+    """
+    import glob
+
+    import jax
+    import jax.extend as jex
+
+    fp = jax.__version__ + "\n" + jex.backend.get_backend().platform_version
+    os.makedirs(cache_dir, exist_ok=True)
+    fp_file = os.path.join(cache_dir, "fingerprint.txt")
+    old = None
+    if os.path.exists(fp_file):
+        with open(fp_file) as f:
+            old = f.read()
+    if old is not None and old != fp:
+        stale = glob.glob(os.path.join(cache_dir, "*-cache"))
+        log(f"cache fingerprint MISMATCH -- wiping {len(stale)} stale "
+            f"entries (old: {old.splitlines()[-1] if old else '?'} / "
+            f"new: {fp.splitlines()[-1]})")
+        for p in stale:
+            try:
+                os.remove(p)
+            except OSError:
+                pass
+    with open(fp_file, "w") as f:
+        f.write(fp)
+
+
 def child():
     import jax
 
     # NOTE: must go through jax.config -- jax 0.9 does not read the
     # JAX_COMPILATION_CACHE_DIR env var, and without a persistent cache
     # every bench run pays the full cold compile.
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                       os.path.join(HERE, ".jax_cache")),
-    )
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                               os.path.join(HERE, ".jax_cache"))
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
     import jax.numpy as jnp
@@ -100,6 +137,18 @@ def child():
     cfg = solver.SolveConfig(**SOLVE_KW)
 
     log(f"backend={jax.default_backend()}")
+    _validate_cache(cache_dir, log)
+    log("cache validated")
+    # Early device probe: a broken TPU runtime (e.g. libtpu client/terminal
+    # skew, MULTICHIP_r0*.json) must fail HERE with a readable diagnostic,
+    # not wedge the warm-up until the budget kills us silently.
+    try:
+        float(jnp.zeros((8,)).sum())
+    except Exception as e:  # noqa: BLE001 -- diagnostic path
+        log(f"DEVICE PROBE FAILED: {type(e).__name__}: {e}")
+        _emit(-1.0, 0.0, error=f"device probe failed: {e}"[:500])
+        raise SystemExit(2)
+    log("device probe ok")
     veln, velpn, vel_map, stif, sx, sy, pairs, dnx = build_workload()
     model = gridlib.make_model(
         veln, velpn, vel_map, stif, None, None, dnx, dtype=jnp.float32
@@ -124,11 +173,12 @@ def child():
     scz = jnp.asarray(sy[rec])
     log("model built")
 
-    def run_once(eps):
+    def run_once(eps, progress=None):
         # eps perturbs the source coordinates by < 1e-5 grid cells (same
         # rounded grid nodes, same rays) so the axon layer can never
         # dedupe the measured execution against the warm-up's.
-        ttfs = solver.solve_ttf(model, scx + eps, scz, 1, cfg)
+        ttfs = solver.solve_ttf(model, scx + eps, scz, 1, cfg,
+                                progress=progress)
         out = rayslib.trace_rays(
             model, ttfs, tidx, src_xy, rec_xy, SUBGRID, mode="interp",
             **RAY_OPTS,
@@ -139,7 +189,10 @@ def child():
         float(jnp.asarray(out[3]).ravel()[0])
         return out
 
-    run_once(0.0)  # compile warm-up
+    def stage_log(stage, total, name, seconds):
+        log(f"  warm-up stage {stage}/{total} [{name}] {seconds:.1f}s")
+
+    run_once(0.0, progress=stage_log)  # compile warm-up (per-stage logged)
     log("warm-up done")
     t0 = time.time()
     run_once(1e-9)
@@ -158,7 +211,10 @@ def _run_child(deadline, fresh_cache):
     env["BENCH_CHILD"] = "1"
     cache = os.path.join(HERE, ".jax_cache")
     if fresh_cache:
+        import shutil
+
         cache = os.path.join(HERE, ".jax_cache_fresh")
+        shutil.rmtree(cache, ignore_errors=True)  # truly fresh
     env.setdefault("JAX_COMPILATION_CACHE_DIR", cache)
     timeout = max(10.0, deadline - time.time())
     t0 = time.time()
@@ -182,17 +238,42 @@ def _run_child(deadline, fresh_cache):
     return None, time.time() - t0, f"rc={proc.returncode}"
 
 
+# A warm-cache run (persistent-cache load + measured solve) finishes in
+# well under this; exceeding it means the cache is cold, wedged, or being
+# silently recompiled -- kill and go to the known-cost fresh-cache path
+# while there is still budget for it.
+WARM_ATTEMPT_S = float(os.environ.get("BENCH_WARM_ATTEMPT_S", "280"))
+
+
 def parent():
     deadline = time.time() + BUDGET_S - 20.0
-    obj, took, err = _run_child(deadline, fresh_cache=False)
-    if obj is None and err != "timeout" and time.time() < deadline - 60:
-        # fast failure: likely a stale/poisoned compile cache -- retry clean
-        print(f"[bench] first attempt failed ({err}); retrying with a "
-              "fresh compile cache", file=sys.stderr, flush=True)
+    have_cache = any(
+        n.endswith("-cache")
+        for n in (os.listdir(os.path.join(HERE, ".jax_cache"))
+                  if os.path.isdir(os.path.join(HERE, ".jax_cache")) else ())
+    )
+    if have_cache:
+        # Reserve budget for a fresh-cache retry: a warm run is fast, so
+        # cap attempt 1 -- if it blows WARM_ATTEMPT_S the cache is not
+        # actually serving us and the remaining budget goes to a clean
+        # cold compile (which the in-child fingerprint check should have
+        # made unnecessary, but belt and braces).
+        att1 = min(deadline, time.time() + WARM_ATTEMPT_S)
+    else:
+        att1 = deadline
+    obj, took, err = _run_child(att1, fresh_cache=False)
+    first_obj = obj
+    failed = obj is None or obj.get("value", -1) < 0
+    if failed and time.time() < deadline - 90:
+        print(f"[bench] first attempt failed ({err}, {took:.0f}s); "
+              "retrying with a fresh compile cache", file=sys.stderr,
+              flush=True)
         obj, took, err = _run_child(deadline, fresh_cache=True)
+        if obj is None or obj.get("value", -1) < 0:
+            obj = obj or first_obj  # keep the most informative error line
     if obj is not None:
         print(json.dumps(obj), flush=True)
-        return 0
+        return 0 if obj.get("value", -1) >= 0 else 1
     _emit(-1.0, 0.0, error=f"bench did not complete within budget ({err})")
     return 1
 
