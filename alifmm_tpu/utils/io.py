@@ -30,6 +30,7 @@ def host_cache_key() -> str:
     history).  Keying the cache *directory* by the CPU feature set makes
     entries host-compatible by construction.
     """
+    import glob
     import hashlib
 
     try:
@@ -42,6 +43,31 @@ def host_cache_key() -> str:
         import platform
 
         basis = platform.processor() + "|" + platform.machine()
+    # cpuinfo alone is NOT sufficient under VM virtualization: two VMs
+    # exposed identical cpuinfo here while LLVM (which queries cpuid
+    # directly) tuned for different microarchs -- one emitted
+    # +prefer-no-scatter/+prefer-no-gather (the Downfall/GDS mitigation
+    # dimension) and its AOT entries computed ~11% wrong on the other
+    # machine.  The kernel's vulnerability reports track exactly those
+    # microarch dimensions, so fold them into the key.
+    for p in sorted(glob.glob("/sys/devices/system/cpu/vulnerabilities/*")):
+        try:
+            with open(p) as f:
+                basis += f"|{os.path.basename(p)}={f.read().strip()}"
+        except OSError:
+            pass
+    # Even cpuinfo + vulnerabilities collided once more (round 3): a VM
+    # whose vulnerability files all read "Not affected" loaded entries
+    # compiled with +prefer-no-gather from an earlier VM.  The VM masks
+    # /proc identity (generic "Intel Xeon @ 2.10GHz", microcode 0x1)
+    # while LLVM reads real cpuid, so NO /proc- or /sys-derived key can
+    # be sufficient.  Scope the key to the boot instead: one cold
+    # compile per VM/boot, zero chance of foreign AOT code.
+    try:
+        with open("/proc/sys/kernel/random/boot_id") as f:
+            basis += "|boot=" + f.read().strip()
+    except OSError:
+        pass
     return hashlib.sha1(basis.encode()).hexdigest()[:12]
 
 

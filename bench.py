@@ -52,7 +52,10 @@ RAY_OPTS = dict(max_cross=8, step_scale=6, quad_vel=True, relax_iters=1,
 # sweep_block=4 halves the final-stage XLA compile (55 s vs 105 s over
 # the 1-core tunnel -- cold-start robustness for the driver's ~600 s
 # budget) at +2.6% final-stage runtime.
-SOLVE_KW = dict(final_rel_tol=2e-3, final_polish_passes=3, sweep_block=4)
+SOLVE_KW = dict(final_rel_tol=2e-3, final_polish_passes=3, sweep_block=4,
+                patch_block=2)
+# experiment override: BENCH_SOLVE_KW='{"patch_block": 4}' etc.
+SOLVE_KW.update(json.loads(os.environ.get("BENCH_SOLVE_KW", "{}")))
 
 
 def _emit(value, vs_baseline, **extra):
@@ -238,30 +241,17 @@ def _run_child(deadline, fresh_cache):
     return None, time.time() - t0, f"rc={proc.returncode}"
 
 
-# A warm-cache run (persistent-cache load + measured solve) finishes in
-# well under this; exceeding it means the cache is cold, wedged, or being
-# silently recompiled -- kill and go to the known-cost fresh-cache path
-# while there is still budget for it.
-WARM_ATTEMPT_S = float(os.environ.get("BENCH_WARM_ATTEMPT_S", "280"))
-
-
 def parent():
+    # Single full-budget first attempt: the tunnel's first-execution
+    # latency is hugely variable (83-490 s measured, including waits for
+    # a previous process's device lease to release), so any mid-budget
+    # kill of a warm attempt risks killing a run that would have
+    # finished -- and a post-kill cold retry cannot fit the remaining
+    # budget anyway.  The in-child fingerprint check already converts
+    # the poisoned-cache wedge (round-2's failure mode) into a clean
+    # cold compile, and fast failures still get a fresh-cache retry.
     deadline = time.time() + BUDGET_S - 20.0
-    have_cache = any(
-        n.endswith("-cache")
-        for n in (os.listdir(os.path.join(HERE, ".jax_cache"))
-                  if os.path.isdir(os.path.join(HERE, ".jax_cache")) else ())
-    )
-    if have_cache:
-        # Reserve budget for a fresh-cache retry: a warm run is fast, so
-        # cap attempt 1 -- if it blows WARM_ATTEMPT_S the cache is not
-        # actually serving us and the remaining budget goes to a clean
-        # cold compile (which the in-child fingerprint check should have
-        # made unnecessary, but belt and braces).
-        att1 = min(deadline, time.time() + WARM_ATTEMPT_S)
-    else:
-        att1 = deadline
-    obj, took, err = _run_child(att1, fresh_cache=False)
+    obj, took, err = _run_child(deadline, fresh_cache=False)
     first_obj = obj
     failed = obj is None or obj.get("value", -1) < 0
     if failed and time.time() < deadline - 90:

@@ -12,9 +12,16 @@ Run: JAX_PLATFORMS=cpu python bench_data/diag_accuracy.py
 import os
 import sys
 
-# force (not setdefault): the session env may pin JAX_PLATFORMS=axon
+# force (not setdefault): the session env may pin JAX_PLATFORMS=axon.
+# NOTE the JAX_ENABLE_X64 env var is ignored by this jax build -- the
+# config.update call below is the one that actually takes effect.
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["JAX_ENABLE_X64"] = "1"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))

@@ -73,13 +73,25 @@ def main():
     # ray cost scales ~linearly with path length (grid diagonal):
     # crop fine diagonal ~ sqrt(286^2+334^2) ~ 440; weld ~ sqrt(3808^2+4492^2)
     ray_scale = float(np.hypot(3808, 4492) / np.hypot(*fine.shape))
+    # NOTE: linear node-count scaling UNDERestimates the reference's
+    # O(N log N) heap cost (log2 N grows 16.6 -> 24 from crop to full
+    # workload), so est_py -- and every speedup quoted below -- is a
+    # lower bound.
     est_py = 31 * (n_full / n_crop) * t_ttf + 961 * t_ray * ray_scale
+    # TPU wall-clock to compare against: bench.py's measured value
+    # (BENCH_r*.json); override when the bench number moves.
+    tpu_s = float(os.environ.get("ALIFMM_TPU_S", sys.argv[1]
+                                 if len(sys.argv) > 1 else 0.87))
     print(f"\nserial pure-python full-workload estimate: {est_py:,.0f} s "
-          f"({est_py/3600:.1f} h)")
+          f"({est_py/3600:.1f} h)  [vs TPU {tpu_s} s from bench.py]")
     for k in (30, 100, 300):
         est = est_py / k
         print(f"  assuming numba = {k:>3}x python: serial CPU ~ {est:,.0f} s "
-              f"-> speedup vs 0.87 s TPU = {est/0.87:,.0f}x")
+              f"-> speedup vs {tpu_s} s TPU = {est/tpu_s:,.0f}x")
+    # >=50x target break-even: the numba-over-python factor at which the
+    # speedup would drop to exactly 50x
+    print(f"  >=50x holds for any numba factor < {est_py/(50*tpu_s):,.0f}x "
+          "over pure Python")
 
 
 if __name__ == "__main__":
