@@ -235,10 +235,12 @@ def solve_ttf_halo(
     f_tol = cfg.rel_tol if cfg.final_rel_tol is None else cfg.final_rel_tol
     f_pol = (cfg.polish_passes if cfg.final_polish_passes is None
              else cfg.final_polish_passes)
+    max_pol = (cfg.final_max_polish if cfg.final_max_polish is not None
+               else max(cfg.final_max_passes, 4 * f_pol))
     out, info = solve_halo_sharded(
         tt0, mdl, fixed, mesh, axis=axis, n_inner=n_inner, polish=f_pol,
         rel_tol=f_tol, max_outer=cfg.final_max_passes,
-        max_polish=max(cfg.final_max_passes, 4 * f_pol),
+        max_polish=max_pol,
         return_info=True, z_true=Z if pad_rows else None,
     )
     out = out[..., :Z, :]
@@ -249,7 +251,38 @@ def solve_ttf_halo(
 
 def _halo_jacobi_block(tt, model_blk: gridlib.Model, fixed, n_inner, axis,
                        z_total, replace=False, z_true=None):
-    """n_inner line-sweep passes on a slab, then a 2-row halo exchange.
+    """``n_inner`` full Gauss-Seidel passes on the z-decomposed grid,
+    BIT-IDENTICAL to the single-device ``sweep.gs_pass`` order.
+
+    The z-direction sweeps are *pipelined* across slabs (the classic
+    domain-decomposed fast-sweeping wavefront ordering): a z-forward
+    sweep runs ``n_slab`` sub-steps, only slab ``s`` commits its sweep at
+    sub-step ``s``, and a 2-row halo exchange after each sub-step hands
+    slab ``s``'s freshly-updated last rows to slab ``s+1`` before its
+    turn -- exactly the carry the single-device scan would have.  The
+    x-direction sweeps need no pipelining: a column's in-column z
+    neighbours use *pre-sweep* values even on one device (the band's
+    centre line), which is precisely what the halo rows hold after the
+    previous directional sweep's exchange.
+
+    Why not plain per-slab sweeps with halo exchange between passes
+    (round 2's scheme): the replace-phase update's stencil *selection*
+    (min-difference, not min-time -- Anis_TTF_rays.py:994-1033) is
+    sensitive to whether an upwind neighbour has already been updated
+    this sweep.  Jacobi-stale slab boundaries flip those selections and
+    the iteration settles on a *different self-consistent field*: a
+    telescoped source on a slab's last row measured 24% off at two cells
+    (the decomposed polish derived the first row below the boundary from
+    a stale wavefront; bench_data/diag_halo_r3*.py).  Pipelining makes
+    every sweep reproduce the single-device op order exactly, so
+    sharded == single-device holds to fp identity for any seed.
+
+    Cost: the z-sweeps serialize across slabs (inherent to GS causality
+    -- the wavefront must cross the boundary), so a full pass costs
+    ~(1 + 1/n_slab)/2 of a single-device pass in wall-clock while the
+    x-sweeps and all bandwidth still scale with the mesh.  Decomposing x
+    as well (2D mesh) would recover z-sweep parallelism; noted as future
+    work in PARITY.md.
 
     ``z_total``: padded global Z (slab layout); ``z_true``: the real grid's
     Z for boundary/in-bounds semantics when rows were padded to a slab
@@ -258,19 +291,20 @@ def _halo_jacobi_block(tt, model_blk: gridlib.Model, fixed, n_inner, axis,
     solve).
     """
     z_true = z_total if z_true is None else z_true
+    n_slab = jax.lax.axis_size(axis)
+    my = jax.lax.axis_index(axis)
 
     def exchange(t):
         up = jax.lax.ppermute(
             t[..., -4:-2, :], axis,
-            [(i, i + 1) for i in range(jax.lax.axis_size(axis) - 1)],
+            [(i, i + 1) for i in range(n_slab - 1)],
         )
         down = jax.lax.ppermute(
             t[..., 2:4, :], axis,
-            [(i + 1, i) for i in range(jax.lax.axis_size(axis) - 1)],
+            [(i + 1, i) for i in range(n_slab - 1)],
         )
-        idx = jax.lax.axis_index(axis)
-        first = idx == 0
-        last = idx == jax.lax.axis_size(axis) - 1
+        first = my == 0
+        last = my == n_slab - 1
         t = t.at[..., 0:2, :].set(
             jnp.where(first, jnp.full_like(up, INF), up)
         )
@@ -285,23 +319,33 @@ def _halo_jacobi_block(tt, model_blk: gridlib.Model, fixed, n_inner, axis,
     t_ = jnp.asarray(True)
     # Global grid coordinates of this (2-row-padded) slab, so boundary and
     # in-bounds stencil semantics match the unsharded grid exactly.
-    goff = jax.lax.axis_index(axis) * (z_total // jax.lax.axis_size(axis)) - 2
+    goff = my * (z_total // n_slab) - 2
     zkw = dict(scan_off=goff, scan_total=z_true)
     xkw = dict(width_off=goff, width_total=z_true)
+
+    def z_sweep(t, rev):
+        def step(s, t):
+            active = jnp.where(rev, my == n_slab - 1 - s, my == s)
+            new = sweep._sweep_axis(t, model_blk, fixed, "z", rev, rep,
+                                    **zkw)
+            t = jnp.where(active, new, t)
+            return exchange(t)
+
+        return jax.lax.fori_loop(0, n_slab, step, t)
+
     for _ in range(n_inner):
-        # exchange after every directional sweep so information crosses one
-        # slab per sweep rather than one per pass
+        tt = z_sweep(tt, f_)
+        tt = z_sweep(tt, t_)
+        # x-sweeps: carry columns cross the slab boundary, so each line's
+        # fresh boundary rows are ppermuted into the carry (halo_axis) --
+        # see _sweep_axis; with that, both x directions are GS-exact too.
         tt = exchange(
-            sweep._sweep_axis(tt, model_blk, fixed, "z", f_, rep, **zkw)
+            sweep._sweep_axis(tt, model_blk, fixed, "x", f_, rep,
+                              halo_axis=axis, **xkw)
         )
         tt = exchange(
-            sweep._sweep_axis(tt, model_blk, fixed, "z", t_, rep, **zkw)
-        )
-        tt = exchange(
-            sweep._sweep_axis(tt, model_blk, fixed, "x", f_, rep, **xkw)
-        )
-        tt = exchange(
-            sweep._sweep_axis(tt, model_blk, fixed, "x", t_, rep, **xkw)
+            sweep._sweep_axis(tt, model_blk, fixed, "x", t_, rep,
+                              halo_axis=axis, **xkw)
         )
     return tt
 
@@ -331,10 +375,13 @@ def solve_halo_sharded(
     Stopping rule:
 
     * ``rel_tol=None`` (legacy): a fixed budget of ``n_outer`` min-phase
-      rounds plus ``polish`` replace-phase rounds.  Sizing: halos are
-      exchanged after every directional sweep, so causal information
-      crosses at most one slab boundary per exchange (4 per inner round);
-      budget ``n_outer * n_inner >= n_slabs + margin``.
+      rounds plus ``polish`` replace-phase rounds.  The z-sweeps are
+      pipelined across slabs (see _halo_jacobi_block), so one round
+      propagates information exactly as far as one single-device
+      gs_pass: size ``n_outer``/``polish`` like solve_fixpoint's
+      ``max_passes``/``polish_passes`` -- no n_slabs scaling needed.
+      With matching budgets the result is bit-identical to the
+      single-device solve (tests/test_shard.py pins rtol 1e-12).
     * ``rel_tol=r`` (production): residual-driven two-phase while_loop --
       min-phase rounds until the global (pmax over shards) pass-to-pass
       delta drops below ``r * max(tt)`` or ``max_outer`` rounds, then
@@ -347,13 +394,6 @@ def solve_halo_sharded(
 
     ``return_info=True`` appends a sweep.SolveInfo(outer passes,
     converged) diagnostic.
-
-    Remaining single-device deviation is tie-break-level: fp rounding can
-    flip ALI stencil selection between two equally valid discrete
-    solutions near stencil ties (measured round 2: absolute gaps at the
-    1e-7 level on 1e-6 s fields for isotropic media; larger scattered
-    deviations only for unconverged qSV budgets -- fixed by rel_tol +
-    SolveConfig.for_mode budgets).
     """
     nd = mesh.devices.size
     Z = tt0.shape[-2]
@@ -410,10 +450,12 @@ def solve_halo_sharded(
                 ),
                 t,
             )
-            info = sweep.SolveInfo(
-                passes=jnp.asarray(n_outer), converged=jnp.asarray(True)
-            )
-            return (t[..., 2:-2, :], info) if return_info else t[..., 2:-2, :]
+            # plain tuple (not SolveInfo): out_specs matching is by pytree
+            # structure, rebuilt into SolveInfo outside the shard_map
+            if return_info:
+                return t[..., 2:-2, :], (jnp.asarray(n_outer),
+                                         jnp.asarray(True))
+            return t[..., 2:-2, :]
 
         def round_delta(new, old):
             interior_new = new[..., 2:-2, :]
@@ -467,8 +509,9 @@ def solve_halo_sharded(
             jnp.asarray(False),
         )
         t, _, _, n1, conv = jax.lax.while_loop(cond, body, state)
-        info = sweep.SolveInfo(passes=n1, converged=conv)
-        return (t[..., 2:-2, :], info) if return_info else t[..., 2:-2, :]
+        if return_info:
+            return t[..., 2:-2, :], (n1, conv)
+        return t[..., 2:-2, :]
 
     out_specs = (
         (spec_grid, (P(), P())) if return_info else spec_grid

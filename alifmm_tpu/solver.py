@@ -77,6 +77,14 @@ class SolveConfig:
         default=None, metadata=dict(static=True))
     final_polish_passes: int | None = dataclasses.field(
         default=None, metadata=dict(static=True))
+    # Residual-driven polish cap for the final stage: None keeps the
+    # fixed-count polish; a value > final_polish_passes lets the replace
+    # phase run until its pass-to-pass delta drops below the final
+    # rel_tol (at least final_polish_passes rounds).  Used by the
+    # accuracy preset and by the halo-sharded path, whose polish is
+    # always residual-driven.
+    final_max_polish: int | None = dataclasses.field(
+        default=None, metadata=dict(static=True))
     # Lines per lax.scan step in the GS sweeps (ops/sweep._sweep_axis):
     # the inner lines are updated sequentially (unrolled) so results are
     # identical to block=1; larger blocks amortise per-step dispatch
@@ -99,7 +107,7 @@ class SolveConfig:
         tests/test_accuracy_mode.py); 2-3x slower than the default."""
         kw = dict(rel_tol=2e-4, patch_max_passes=16, final_max_passes=32,
                   polish_passes=8, final_rel_tol=2e-4,
-                  final_polish_passes=8)
+                  final_polish_passes=8, final_max_polish=32)
         kw.update(overrides)
         return cls(**kw)
 
@@ -581,6 +589,7 @@ def _stage_final(model, prev_tt, prev_bz, prev_bx, cfg, use_pallas=False):
         tt, model, fixed, rel_tol=f_tol,
         max_passes=cfg.final_max_passes, polish_passes=f_pol,
         block=cfg.sweep_block, inner=cfg.sweep_inner,
+        max_polish_passes=cfg.final_max_polish,
     )
     return tt, info
 
