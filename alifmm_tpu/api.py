@@ -135,11 +135,16 @@ class ALI_FMM:
         # only "descent", tol/retrace_chunk/descent_kw/search_kw only
         # "auto") -- speed/accuracy trade, default reference geometry
         self._ray_opts = dict(ray_opts or {})
-        # solver iteration budget (solver.SolveConfig fields); default is
-        # the conservative reference-parity budget -- the weld production
-        # tuning is e.g. dict(final_rel_tol=2e-3, final_polish_passes=3,
-        # sweep_block=4) (bench.py SOLVE_KW)
-        self._cfg = solverlib.SolveConfig(**dict(solve_opts or {}))
+        # solver iteration budget: a solver.SolveConfig (e.g. the
+        # SolveConfig.accuracy() / .for_mode("qsv") presets) or a dict of
+        # its fields; default is the conservative reference-parity budget
+        # -- the weld production tuning is e.g.
+        # dict(final_rel_tol=2e-3, final_polish_passes=3, sweep_block=4)
+        # (bench.py SOLVE_KW)
+        if isinstance(solve_opts, solverlib.SolveConfig):
+            self._cfg = solve_opts
+        else:
+            self._cfg = solverlib.SolveConfig(**dict(solve_opts or {}))
         # Optional jax.sharding.Mesh for grids larger than one chip: every
         # travel-time solve then runs the telescoped halo-exchange path
         # (parallel.shard.solve_ttf_halo) with the grid z-decomposed over

@@ -85,6 +85,18 @@ class SolveConfig:
     # always residual-driven.
     final_max_polish: int | None = dataclasses.field(
         default=None, metadata=dict(static=True))
+    # Coarse-path stage-3 window half-size override (None = the
+    # reference's 13, Anis_TTF_rays.py:1852-1853).  A wider window
+    # freezes refined-patch values further out, IMPROVING accuracy vs
+    # the analytic solution but WORSENING parity vs the reference
+    # oracle: beyond r=13 the oracle's own values carry the coarse
+    # march's accumulated error (~+1.9% vs analytic at r=18, measured
+    # bench_data/diag_accuracy_r3.py), and matching the oracle means
+    # reproducing that error.  Leave None for drop-in oracle parity;
+    # set larger (e.g. 19) when absolute accuracy matters more than
+    # reference parity.  Coarse path (subgrid_size == 1) only.
+    stage3_half: int | None = dataclasses.field(
+        default=None, metadata=dict(static=True))
     # Lines per lax.scan step in the GS sweeps (ops/sweep._sweep_axis):
     # the inner lines are updated sequentially (unrolled) so results are
     # identical to block=1; larger blocks amortise per-step dispatch
@@ -349,6 +361,13 @@ _COARSE_SEED_SIDE = 13
 _COARSE_SEED_SIGN = -1.0
 
 
+def coarse_stages(cfg: SolveConfig):
+    """The coarse-path stage schedule, with cfg.stage3_half applied."""
+    if cfg.stage3_half is None:
+        return _COARSE_STAGES
+    return _COARSE_STAGES[:-1] + ((cfg.stage3_half, 3),)
+
+
 def fine_stage_params(subgrid_size: int):
     """Stage geometry of travel_finer_grid (Anis_TTF_rays.py:2188-2190,
     :2355-2356), in fine-grid cells."""
@@ -393,7 +412,7 @@ def solve_ttf(
     if subgrid_size == 1:
         base = model
         stages, seed_side, seed_sign = (
-            _COARSE_STAGES,
+            coarse_stages(cfg),
             _COARSE_SEED_SIDE,
             _COARSE_SEED_SIGN,
         )
