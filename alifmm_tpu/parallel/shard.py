@@ -78,7 +78,7 @@ def solve_ttf_sharded(
     if subgrid_size == 1:
         base = model
         if stages is None:
-            stages = solverlib._COARSE_STAGES
+            stages = solverlib.coarse_stages(cfg)
             seed_side = solverlib._COARSE_SEED_SIDE
         seed_sign = solverlib._COARSE_SEED_SIGN
     else:
@@ -164,7 +164,7 @@ def solve_ttf_halo(
     if subgrid_size == 1:
         base = model
         if stages is None:
-            stages = solverlib._COARSE_STAGES
+            stages = solverlib.coarse_stages(cfg)
             seed_side = solverlib._COARSE_SEED_SIDE
         seed_sign = solverlib._COARSE_SEED_SIGN
     else:

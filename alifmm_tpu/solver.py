@@ -615,12 +615,20 @@ def _stage_final(model, prev_tt, prev_bz, prev_bx, cfg, use_pallas=False):
 
 def _use_pallas(model) -> bool:
     """Pallas sweeps: opt-in via ALIFMM_PALLAS=1 (needs TPU + constant
-    table columns).
+    table columns).  STATUS (round 3): RETIRED from the production path.
 
-    Measured on the weld workload (v5e): after the constant-column
-    interp_table fast path, the XLA line-sweep scans run at ~13 us/line and
-    *beat* the kernel's chunked launches (84 ms vs 310 ms for the 31-source
-    patch stage), so the kernel stays an optional path.
+    Two strikes, measured on the weld workload:
+    * round 2 (v5e, interpreter-validated kernel semantics): after the
+      constant-column interp_table fast path, the XLA line-sweep scans
+      run at ~13 us/line and *beat* the kernel's chunked launches
+      (84 ms vs 310 ms for the 31-source patch stage);
+    * round 3 (real-TPU compile attempt): Mosaic REJECTS the kernel --
+      "Unsupported target bitwidth for truncation"
+      (bench_data/FINDINGS_r3.md) -- it had only ever run under the
+      Pallas interpreter.
+    The XLA scans are the production sweep tier; the kernel remains an
+    interpreter-mode testbed for update-semantics experiments
+    (tests/test_pallas_sweep.py).
     """
     import os
 
