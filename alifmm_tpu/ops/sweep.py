@@ -706,11 +706,11 @@ def solve_fixpoint(
 
     if inner:
         def cond1(state):
-            tt, prev, k, conv = state
+            tt, prev, k, n1, conv = state
             return k < max_passes
 
         def body1(state):
-            tt, prev, k, conv = state
+            tt, prev, k, n1, conv = state
             new = gs_pass(tt, model, fixed, replace=False, block=block,
                           inner=inner)
             known = new < INF * 0.5
@@ -719,13 +719,14 @@ def solve_fixpoint(
             )
             scale = jnp.max(jnp.where(known, new, 0.0))
             converged = delta <= rel_tol * jnp.maximum(scale, 1e-30)
-            k1 = k + 1
-            stop = converged & (k1 >= min_passes)
-            k1 = jnp.where(stop, max_passes, k1)
-            return (new, tt, k1, conv | stop)
+            stop = converged & (n1 + 1 >= min_passes)
+            # k is loop control (jumps to the cap on early stop); n1 keeps
+            # the REAL pass count for the SolveInfo record.
+            k1 = jnp.where(stop, max_passes, k + 1)
+            return (new, tt, k1, n1 + 1, conv | stop)
 
-        tt, _, _, conv = jax.lax.while_loop(
-            cond1, body1, (tt0, tt0 + 1.0, jnp.asarray(0),
+        tt, _, _, n1, conv = jax.lax.while_loop(
+            cond1, body1, (tt0, tt0 + 1.0, jnp.asarray(0), jnp.asarray(0),
                            jnp.asarray(False))
         )
 
@@ -734,7 +735,7 @@ def solve_fixpoint(
                            inner=0)
 
         tt = jax.lax.fori_loop(0, polish_passes, body2, tt)
-        return tt, SolveInfo(passes=max_passes, converged=conv)
+        return tt, SolveInfo(passes=n1, converged=conv)
 
     def cond(state):
         tt, prev, k, phase, n1, conv = state

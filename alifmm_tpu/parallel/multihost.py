@@ -35,6 +35,7 @@ import numpy as np
 __all__ = ["init", "is_initialized", "hybrid_mesh", "process_summary"]
 
 _initialized = False
+_init_result: bool | None = None
 
 
 def init(coordinator_address: str | None = None,
@@ -56,9 +57,9 @@ def init(coordinator_address: str | None = None,
     way.  Idempotent: a second call is a no-op returning the first
     call's result.
     """
-    global _initialized
-    if _initialized:
-        return True
+    global _initialized, _init_result
+    if _init_result is not None:
+        return _init_result
     env = os.environ
     if coordinator_address is None:
         coordinator_address = env.get("JAX_COORDINATOR_ADDRESS")
@@ -67,17 +68,32 @@ def init(coordinator_address: str | None = None,
     if process_id is None and env.get("JAX_PROCESS_ID"):
         process_id = int(env["JAX_PROCESS_ID"])
 
+    def _tasks(*keys):
+        """Task count from the first launcher variable that parses."""
+        for k in keys:
+            try:
+                return int(env.get(k, ""))
+            except ValueError:
+                continue
+        return 1
+
     explicit = coordinator_address is not None
     auto = any(
         k in env
         for k in (
             # TPU pod / GKE metadata jax autodetects from
-            "TPU_WORKER_HOSTNAMES", "TPU_WORKER_ID", "MEGASCALE_COORDINATOR_ADDRESS",
-            # SLURM / OpenMPI launchers
-            "SLURM_JOB_ID", "OMPI_COMM_WORLD_SIZE",
+            "TPU_WORKER_HOSTNAMES", "TPU_WORKER_ID",
+            "MEGASCALE_COORDINATOR_ADDRESS",
         )
+    ) or (
+        # SLURM / OpenMPI launchers: only a real multi-task launch counts.
+        # A single-process run inside an allocation (salloc without srun,
+        # 1-task array job) must NOT trigger distributed init.
+        _tasks("SLURM_NTASKS", "SLURM_NPROCS") > 1
+        or _tasks("OMPI_COMM_WORLD_SIZE") > 1
     )
     if not (explicit or auto):
+        _init_result = False
         return False
 
     import jax
@@ -93,6 +109,7 @@ def init(coordinator_address: str | None = None,
         kw["local_device_ids"] = local_device_ids
     jax.distributed.initialize(**kw)
     _initialized = True
+    _init_result = True
     return True
 
 

@@ -198,8 +198,10 @@ def solve_ttf_halo(
 
     tt0, fixed = inject(tt, bz, bx)
 
-    # pad Z to a slab multiple: INF rows marked fixed, edge materials
-    nd = mesh.devices.size
+    # pad Z to a slab multiple: INF rows marked fixed, edge materials.
+    # Slab count = the HALO AXIS extent (not the total device count): under
+    # a hybrid (src, gz) mesh only the gz axis decomposes the grid.
+    nd = mesh.shape[axis]
     pad_rows = (-Z) % nd
     mdl = base
     if pad_rows:
@@ -395,7 +397,7 @@ def solve_halo_sharded(
     ``return_info=True`` appends a sweep.SolveInfo(outer passes,
     converged) diagnostic.
     """
-    nd = mesh.devices.size
+    nd = mesh.shape[axis]  # slabs = halo-axis extent, not total devices
     Z = tt0.shape[-2]
     assert Z % nd == 0, (Z, nd)
     batched = tt0.ndim == 3
@@ -436,26 +438,6 @@ def solve_halo_sharded(
         )
         t = padz(tt, INF)
         f = padz(fixed, True)
-        # halo rows are marked fixed so local sweeps treat them as boundary
-        # data; their values refresh from the neighbour slab each exchange.
-        if rel_tol is None:
-            # legacy fixed budget: one compiled sweep body via fori;
-            # rounds >= n_outer switch to the replace-polish phase.
-            t = jax.lax.fori_loop(
-                0,
-                n_outer + polish,
-                lambda k, t: _halo_jacobi_block(
-                    t, blk, f, n_inner, axis, Z, replace=(k >= n_outer),
-                    z_true=z_true,
-                ),
-                t,
-            )
-            # plain tuple (not SolveInfo): out_specs matching is by pytree
-            # structure, rebuilt into SolveInfo outside the shard_map
-            if return_info:
-                return t[..., 2:-2, :], (jnp.asarray(n_outer),
-                                         jnp.asarray(True))
-            return t[..., 2:-2, :]
 
         def round_delta(new, old):
             interior_new = new[..., 2:-2, :]
@@ -474,6 +456,34 @@ def solve_halo_sharded(
             d = jax.lax.pmax(d, axis)
             s = jax.lax.pmax(s, axis)
             return d, s
+
+        # halo rows are marked fixed so local sweeps treat them as boundary
+        # data; their values refresh from the neighbour slab each exchange.
+        if rel_tol is None:
+            # Legacy fixed budget: one compiled sweep body via fori;
+            # rounds >= n_outer switch to the replace-polish phase.  The
+            # carry keeps the previous round's field so ``converged`` can
+            # report the REAL final-round residual (vs solve_fixpoint's
+            # default 1e-6 relative tolerance) instead of an unconditional
+            # True (round-3 advisor finding).
+            def step(k, state):
+                t, _ = state
+                new = _halo_jacobi_block(
+                    t, blk, f, n_inner, axis, Z, replace=(k >= n_outer),
+                    z_true=z_true,
+                )
+                return (new, t)
+
+            t, t_prev = jax.lax.fori_loop(
+                0, n_outer + polish, step, (t, t)
+            )
+            # plain tuple (not SolveInfo): out_specs matching is by pytree
+            # structure, rebuilt into SolveInfo outside the shard_map
+            if return_info:
+                d, s = round_delta(t, t_prev)
+                conv = d <= 1e-6 * jnp.maximum(s, 1e-30)
+                return t[..., 2:-2, :], (jnp.asarray(n_outer), conv)
+            return t[..., 2:-2, :]
 
         def cond(state):
             t, k, phase, n1, conv = state

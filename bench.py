@@ -139,14 +139,18 @@ def child():
     T0 = time.time()
     cfg = solver.SolveConfig(**SOLVE_KW)
 
-    log(f"backend={jax.default_backend()}")
-    _validate_cache(cache_dir, log)
-    log("cache validated")
-    # Early device probe: a broken TPU runtime (e.g. libtpu client/terminal
-    # skew, MULTICHIP_r0*.json) must fail HERE with a readable diagnostic,
-    # not wedge the warm-up until the budget kills us silently.
+    # Early device/backend probe: a broken TPU runtime (e.g. libtpu
+    # client/terminal skew, MULTICHIP_r0*.json) must fail HERE with a
+    # readable diagnostic, not wedge the warm-up until the budget kills
+    # us silently.  _validate_cache initialises the backend too
+    # (get_backend() for the fingerprint), so it shares the guard.
     try:
+        log(f"backend={jax.default_backend()}")
+        _validate_cache(cache_dir, log)
+        log("cache validated")
         float(jnp.zeros((8,)).sum())
+    except SystemExit:
+        raise
     except Exception as e:  # noqa: BLE001 -- diagnostic path
         log(f"DEVICE PROBE FAILED: {type(e).__name__}: {e}")
         _emit(-1.0, 0.0, error=f"device probe failed: {e}"[:500])

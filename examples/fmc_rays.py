@@ -38,34 +38,52 @@ RAY_OPTS = dict(max_cross=8, step_scale=6, quad_vel=True, relax_iters=1,
                 relax_quad=3, max_steps=170, cand_stride=6.0)
 
 
-def _run(veln, velpn, vel_map, stif_density, sx, sy, dnx):
+def _run(veln, velpn, vel_map, stif_density, sx, sy, dnx, subgrid_size=9,
+         solve_opts=None, ray_opts=None):
     fm = ALI_FMM(
         veln, velpn, vel_map, sx, sy, stif_den=stif_density, dnx=dnx,
-        ttf_mode="interp", solve_opts=SOLVE_OPTS, ray_opts=RAY_OPTS,
+        ttf_mode="interp",
+        solve_opts=SOLVE_OPTS if solve_opts is None else solve_opts,
+        ray_opts=RAY_OPTS if ray_opts is None else ray_opts,
     )
     t0 = time.time()
     trav_times = fm.find_all_TTF_rays_parallel(
         veln, velpn, vel_map, stif_den=stif_density, n_threads=8,
+        subgrid_size=subgrid_size,
     )
     return fm, trav_times, time.time() - t0
 
 
-def main(out_dir="."):
+def main(out_dir=".", workload=None, subgrid_size=9, solve_opts=None,
+         ray_opts=None, cache_dir=None):
+    """Run the FMC workload end-to-end and save the four npy artifacts.
+
+    ``workload``: optional (veln, velpn, vel_map, stif_density, sx, sy,
+    dnx) tuple -- the test suite passes a size-scaled weld crop through
+    the IDENTICAL path (tests/test_fmc_example.py); default is the full
+    62-transducer weld.
+    """
     iolib.enable_compile_cache(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
-                     ".jax_cache")
+        cache_dir
+        or os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
+                        ".jax_cache")
     )
-    veln, velpn, vel_map, stif_density, sx, sy, _, dnx = build_workload()
+    if workload is None:
+        veln, velpn, vel_map, stif_density, sx, sy, _, dnx = build_workload()
+    else:
+        veln, velpn, vel_map, stif_density, sx, sy, dnx = workload
     n = len(sx)
     n_rays = n * (n - 1) // 2
 
     fm, trav_times, t_first = _run(
-        veln, velpn, vel_map, stif_density, sx, sy, dnx
+        veln, velpn, vel_map, stif_density, sx, sy, dnx,
+        subgrid_size=subgrid_size, solve_opts=solve_opts, ray_opts=ray_opts,
     )
     print(f"FMC: {n - 1} TTFs + {n_rays} rays in {t_first:.3f}s "
           "(first call; includes compile unless cached)")
     _, _, t_warm = _run(
-        veln, velpn, vel_map, stif_density, sx + 1e-9 * dnx, sy, dnx
+        veln, velpn, vel_map, stif_density, sx + 1e-9 * dnx, sy, dnx,
+        subgrid_size=subgrid_size, solve_opts=solve_opts, ray_opts=ray_opts,
     )
     print(f"FMC warm: {n - 1} TTFs + {n_rays} rays in {t_warm:.3f}s")
 
