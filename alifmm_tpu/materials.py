@@ -31,6 +31,7 @@ __all__ = [
     "generate_group_vel_curve",
     "generate_phase_vel_curve",
     "generate_mode_curves",
+    "first_arrival_group_curve",
     "slowness_derivative",
     "default_tables",
     "build_tables",
@@ -348,6 +349,59 @@ def _phase_velocity_mode(angle_rad, c22, c23, c33, c44, c66, rho, mode):
     return np.sqrt(lam / rho)
 
 
+def first_arrival_group_curve(c22, c23, c33, c44, rho, c66=None, mode="qSV",
+                              n_fine=14400):
+    """361-entry FIRST-ARRIVAL group-speed curve of one bulk mode: the
+    convex hull of the wave surface, from the plane-wave envelope
+
+        v_hull(theta) = min over |phi - theta| < 90deg of
+                        v_phase(phi) / cos(theta - phi).
+
+    Physics: in a homogeneous medium the point-source wavefront at time
+    t is the intersection of the half-planes swept by all plane waves,
+    ``x . n_phi <= t * v_p(phi)`` -- i.e. the convex hull of the group
+    (ray) surface.  Where the group curve is convex the hull touches it
+    and this formula reproduces the classical group speed exactly (the
+    support-function duality v_p = support(wave surface)); across
+    concave/triplication sectors (qSV cusps) the hull bridges the lobes
+    with flat wavefront segments and the first arrival is a faster
+    multi-segment path -- speeds the single-branch group curve does not
+    contain.  Because the construction uses ONLY the (single-valued)
+    phase curve, the returned group table is mutually consistent with
+    the phase table by polar duality: one branch selection shared by
+    both, the property the round-3 findings named as missing
+    (bench_data/FINDINGS_r3.md "qSV has no oracle").
+    """
+    if c66 is None:
+        c66 = c44
+    phi = np.linspace(0.0, 2.0 * np.pi, 2 * n_fine, endpoint=False)
+    vp = _phase_velocity_mode(phi, c22, c23, c33, c44, c66, rho, mode)
+    return _radial_from_support(phi, vp, np.radians(np.arange(361.0)))
+
+
+def _radial_from_support(phi, h, out_angles):
+    """r(theta) = min over |phi - theta| < 90deg of h(phi)/cos(theta-phi):
+    the radial function of the convex body whose support function is
+    ``h`` (intersection of the half-planes x . n_phi <= h(phi))."""
+    th = np.asarray(out_angles)[:, None]
+    delta = np.mod(phi[None, :] - th + np.pi, 2.0 * np.pi) - np.pi
+    ok = np.abs(delta) < np.pi / 2 - 1e-6
+    ratio = np.where(ok, h[None, :] / np.cos(np.where(ok, delta, 0.0)),
+                     np.inf)
+    return ratio.min(axis=1)
+
+
+def _support_from_radial(phi, r, out_angles):
+    """h(theta) = max over phi of r(phi)*cos(phi - theta): the support
+    function of the radial point set -- equivalently of its convex
+    hull, which is what makes the radial/support round trip a
+    CONVEXIFICATION for non-convex curves (qSV slowness dimples) and an
+    exact involution for convex ones (qP)."""
+    th = np.asarray(out_angles)[:, None]
+    delta = np.mod(phi[None, :] - th + np.pi, 2.0 * np.pi) - np.pi
+    return np.max(r[None, :] * np.cos(delta), axis=1)
+
+
 def generate_mode_curves(c22, c23, c33, c44, rho, c66=None, mode="qP",
                          n_fine=14400):
     """(group_curve, phase_curve) 361-entry tables for a chosen bulk mode.
@@ -356,44 +410,37 @@ def generate_mode_curves(c22, c23, c33, c44, rho, c66=None, mode="qP",
     Anis_TTF_rays.py:4112-4206) to the shear branches: ``qSV`` uses the
     smaller eigenvalue of the in-plane Christoffel matrix, ``qSH`` the
     decoupled horizontally polarised mode (requires c66; defaults to c44).
-    The group curve is built from the phase-slowness surface:
-    ``v_g = sqrt(v_p^2 + (dv_p/dtheta)^2)`` at group angle
-    ``theta_g = theta_p + atan((dv_p/dtheta)/v_p)``, sampled densely and
-    resampled to 1-degree group-angle bins.  The tables plug directly into
-    add_materials-style velocity tables, so the whole solver/ray stack runs
-    shear modes unchanged.
+
+    The group curve is the FIRST-ARRIVAL envelope
+    (first_arrival_group_curve): the convex hull of the wave surface,
+    built from the phase curve alone so group and phase tables share one
+    branch selection (polar duals).  For convex modes (qP, elliptical
+    qSH) this equals the classical group curve; across qSV triplication
+    sectors it carries the true multi-segment first-arrival speeds
+    instead of the round-3 binned-branch mixture whose group/phase
+    inconsistency made homogeneous-medium arrivals unassertable (48%
+    straight-ray gaps, 28% point asymmetry -- FINDINGS_r3.md).  The
+    tables plug directly into add_materials-style velocity tables, so
+    the whole solver/ray stack runs shear modes unchanged.
     """
     if c66 is None:
         c66 = c44
-    th = np.linspace(0.0, np.pi, n_fine, endpoint=False)
-    vp = _phase_velocity_mode(th, c22, c23, c33, c44, c66, rho, mode)
-    dvp = np.gradient(vp, th)
-    vg = np.sqrt(vp * vp + dvp * dvp)
-    th_g = th + np.arctan2(dvp, vp)
-
-    # Resample group velocity onto integer group angles (0..180).  Near
-    # cusps/triplications the group curve is multivalued in group angle;
-    # the first arrival is the FASTEST branch, so bin samples by nearest
-    # integer angle and keep the maximum, then fill empty bins (shadow
-    # zones between cusps) by interpolation.
-    tg_deg = np.degrees(np.mod(th_g, np.pi))
-    bins = np.mod(np.round(tg_deg).astype(int), 180)
-    vmax = np.full(180, -np.inf)
-    np.maximum.at(vmax, bins, vg)
-    have = np.isfinite(vmax)
-    k = np.arange(180.0)
-    if not have.all():
-        kk = np.concatenate([k[have] - 180.0, k[have], k[have] + 180.0])
-        vv = np.concatenate([vmax[have]] * 3)
-        vmax[~have] = np.interp(k[~have], kk, vv)
-    group = np.zeros(361)
-    group[:180] = vmax
-    group[180] = vmax[0]
-    group[181:] = group[1:181]
-
-    phase = np.zeros(361)
-    phase[:181] = _phase_velocity_mode(
-        np.radians(np.arange(181.0)), c22, c23, c33, c44, c66, rho, mode
-    )
-    phase[181:] = phase[1:181]
+    group = first_arrival_group_curve(c22, c23, c33, c44, rho, c66, mode,
+                                      n_fine)
+    # The matching phase table is the CONVEXIFIED slowness: radial ->
+    # support -> radial on the slowness curve fills in its concave
+    # dimples (the round trip is the convex hull of the slowness
+    # region).  On convex modes (qP, elliptical qSH) the round trip is
+    # an exact involution and this returns the Christoffel phase curve;
+    # on qSV the dimple normals' speeds drop to the causal hull speeds,
+    # removing the faster-than-first-arrival "phantom" plane waves the
+    # raw v_p table feeds the ALI update (measured 13-18% early
+    # arrivals, FINDINGS_r4.md).  Both tables then describe ONE convex
+    # wavefront -- the single-branch selection round 3 named as missing.
+    phi = np.linspace(0.0, 2.0 * np.pi, 2 * n_fine, endpoint=False)
+    vp = _phase_velocity_mode(phi, c22, c23, c33, c44, c66, rho, mode)
+    h_slw = _support_from_radial(phi, 1.0 / vp, phi)
+    r_hull_slw = _radial_from_support(phi, h_slw,
+                                      np.radians(np.arange(361.0)))
+    phase = 1.0 / r_hull_slw
     return group, phase

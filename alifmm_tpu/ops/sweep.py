@@ -681,8 +681,21 @@ def solve_fixpoint(
     block: int = 1,
     inner: int = 0,
     max_polish_passes: int | None = None,
+    use_ali: bool = True,
+    phase1_use_ali: bool | None = None,
 ):
     """Two-phase fixpoint solve (see module docstring).
+
+    ``phase1_use_ali``: operator override for the phase-1 envelope only
+    (None = same as ``use_ali``).  The production setting for concave
+    shear modes is phase1_use_ali=False, use_ali=True: the monotone FD
+    envelope can only OVERSHOOT the true first arrival (stencil
+    quantisation), and the full-ALI replace polish then contracts onto
+    the hull field FROM ABOVE -- the min-lock that traps an
+    ALI-everywhere solve below the truth (FINDINGS_r4.md, 16-18% early)
+    needs an undershooting envelope to latch onto.  When the operators
+    differ the two phases run as separate loops (two compiled bodies)
+    with the polish residual-driven under ``max_polish_passes``.
 
     Runs under jit; with ``inner == 0`` both phases share one
     lax.while_loop (and thus one compiled sweep body per axis).  With
@@ -703,8 +716,9 @@ def solve_fixpoint(
     """
     max_passes = jnp.asarray(max_passes)
     mp2 = polish_passes if max_polish_passes is None else max_polish_passes
+    p1_ali = use_ali if phase1_use_ali is None else phase1_use_ali
 
-    if inner:
+    if inner or p1_ali != use_ali:
         def cond1(state):
             tt, prev, k, n1, conv = state
             return k < max_passes
@@ -712,7 +726,7 @@ def solve_fixpoint(
         def body1(state):
             tt, prev, k, n1, conv = state
             new = gs_pass(tt, model, fixed, replace=False, block=block,
-                          inner=inner)
+                          inner=inner, use_ali=p1_ali)
             known = new < INF * 0.5
             delta = jnp.max(
                 jnp.where(known | (tt < INF * 0.5), jnp.abs(new - tt), 0.0)
@@ -730,11 +744,29 @@ def solve_fixpoint(
                            jnp.asarray(False))
         )
 
-        def body2(_, tt):
-            return gs_pass(tt, model, fixed, replace=True, block=block,
-                           inner=0)
+        def cond2(state):
+            tt, prev, k = state
+            return k < mp2
 
-        tt = jax.lax.fori_loop(0, polish_passes, body2, tt)
+        def body2(state):
+            # residual-driven replace polish (>= polish_passes rounds,
+            # <= mp2); with max_polish_passes=None this is exactly the
+            # legacy fixed count
+            tt, prev, k = state
+            new = gs_pass(tt, model, fixed, replace=True, block=block,
+                          inner=0, use_ali=use_ali)
+            known = new < INF * 0.5
+            delta = jnp.max(
+                jnp.where(known | (tt < INF * 0.5), jnp.abs(new - tt), 0.0)
+            )
+            scale = jnp.max(jnp.where(known, new, 0.0))
+            converged = delta <= rel_tol * jnp.maximum(scale, 1e-30)
+            k1 = jnp.where(converged & (k + 1 >= polish_passes), mp2, k + 1)
+            return (new, tt, k1)
+
+        tt, _, _ = jax.lax.while_loop(
+            cond2, body2, (tt, tt + 1.0, jnp.asarray(0))
+        )
         return tt, SolveInfo(passes=n1, converged=conv)
 
     def cond(state):
@@ -743,7 +775,8 @@ def solve_fixpoint(
 
     def body(state):
         tt, prev, k, phase, n1, conv = state
-        new = gs_pass(tt, model, fixed, replace=(phase == 1), block=block)
+        new = gs_pass(tt, model, fixed, replace=(phase == 1), block=block,
+                      use_ali=use_ali)
         known = new < INF * 0.5
         delta = jnp.max(
             jnp.where(known | (tt < INF * 0.5), jnp.abs(new - tt), 0.0)

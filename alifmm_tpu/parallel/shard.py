@@ -111,24 +111,47 @@ def trace_rays_sharded(
     mode: str = "interp",
     **kw,
 ):
-    """Ray batch sharded over ``mesh`` (fields replicated)."""
+    """Ray batch sharded over ``mesh`` (fields replicated).
+
+    Runs as an explicit ``shard_map`` (not GSPMD propagation): each
+    device traces its ray slice against the replicated fields with ZERO
+    cross-device collectives in the program.  The earlier GSPMD layout
+    let the partitioner insert an (all-reduce, all-gather) pair that the
+    CPU thunk executor could schedule in different orders on different
+    device threads -- a genuine distributed deadlock, reproduced
+    deterministically on the 8-thread virtual mesh (round-4 dryrun
+    rendezvous timeouts at 120 s+).  A collective-free program cannot
+    deadlock and is also the faster layout on real ICI (no traffic).
+    """
     n = source_xy.shape[0]
-    m = (-n) % mesh.devices.size
+    nd = mesh.shape[axis]
+    m = (-n) % nd
     if m:
         source_xy = jnp.concatenate([source_xy, source_xy[:1].repeat(m, 0)])
         receiver_xy = jnp.concatenate(
             [receiver_xy, receiver_xy[:1].repeat(m, 0)]
         )
         ttf_index = jnp.concatenate([ttf_index, ttf_index[:1].repeat(m, 0)])
-    ray_sharding = NamedSharding(mesh, P(axis))
-    rep = NamedSharding(mesh, P())
     source_xy = jax.device_put(source_xy, NamedSharding(mesh, P(axis, None)))
-    receiver_xy = jax.device_put(receiver_xy, NamedSharding(mesh, P(axis, None)))
-    ttf_index = jax.device_put(ttf_index, ray_sharding)
-    rec_ttf = jax.device_put(rec_ttf, rep)
-    rx, ry, lens, times = rayslib.trace_rays(
-        model, rec_ttf, ttf_index, source_xy, receiver_xy, subgrid_size,
-        mode=mode, **kw,
+    receiver_xy = jax.device_put(receiver_xy,
+                                 NamedSharding(mesh, P(axis, None)))
+    ttf_index = jax.device_put(ttf_index, NamedSharding(mesh, P(axis)))
+    rec_ttf = jax.device_put(rec_ttf, NamedSharding(mesh, P()))
+
+    def local(ttf, tidx, sxy, rxy):
+        # model rides in by closure -> replicated on every device
+        return rayslib.trace_rays(model, ttf, tidx, sxy, rxy,
+                                  subgrid_size, mode=mode, **kw)
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(axis), P(axis, None), P(axis, None)),
+        out_specs=(P(axis, None), P(axis, None), P(axis), P(axis)),
+        check_vma=False,
+    )
+    rx, ry, lens, times = jax.jit(fn)(
+        rec_ttf, ttf_index, source_xy, receiver_xy
     )
     return rx[:n], ry[:n], lens[:n], times[:n]
 
@@ -198,15 +221,20 @@ def solve_ttf_halo(
 
     tt0, fixed = inject(tt, bz, bx)
 
-    # pad Z to a slab multiple: INF rows marked fixed, edge materials.
-    # Slab count = the HALO AXIS extent (not the total device count): under
-    # a hybrid (src, gz) mesh only the gz axis decomposes the grid.
-    nd = mesh.shape[axis]
-    pad_rows = (-Z) % nd
+    # pad Z (and X for a 2D axis tuple) to slab multiples: INF cells
+    # marked fixed, edge materials.  Slab counts = the HALO AXIS extents
+    # (not the total device count): under a hybrid (src, gz) mesh only
+    # the gz axis decomposes the grid.
+    axes = (axis,) if isinstance(axis, str) else tuple(axis)
+    n_sz = mesh.shape[axes[0]]
+    n_sx = mesh.shape[axes[1]] if len(axes) == 2 else 1
+    pad_rows = (-Z) % n_sz
+    pad_cols = (-X) % n_sx
     mdl = base
-    if pad_rows:
-        def padp(a, mode="edge"):
-            cfg_p = [(0, pad_rows)] + [(0, 0)] * (a.ndim - 1)
+    if pad_rows or pad_cols:
+        def padp(a, mode="edge", lead=0):
+            cfg_p = ([(0, 0)] * lead + [(0, pad_rows), (0, pad_cols)]
+                     + [(0, 0)] * (a.ndim - lead - 2))
             return jnp.pad(a, cfg_p, mode=mode)
 
         mdl = gridlib.Model(
@@ -216,10 +244,7 @@ def solve_ttf_halo(
             stif=padp(base.stif),
             group_tab=base.group_tab,
             phase_tab=base.phase_tab,
-            fallback_slowness=jnp.pad(
-                base.fallback_slowness,
-                ((0, 0), (0, pad_rows), (0, 0)), mode="edge",
-            ),
+            fallback_slowness=padp(base.fallback_slowness, lead=1),
             dnx=base.dnx,
             ray_curves=None,
             ray_curve_idx=None,
@@ -229,9 +254,9 @@ def solve_ttf_halo(
             group_info=base.group_info,
             ray_info=None,
         )
-        tt0 = jnp.pad(tt0, ((0, 0), (0, pad_rows), (0, 0)),
+        tt0 = jnp.pad(tt0, ((0, 0), (0, pad_rows), (0, pad_cols)),
                       constant_values=INF)
-        fixed = jnp.pad(fixed, ((0, 0), (0, pad_rows), (0, 0)),
+        fixed = jnp.pad(fixed, ((0, 0), (0, pad_rows), (0, pad_cols)),
                         constant_values=True)
 
     f_tol = cfg.rel_tol if cfg.final_rel_tol is None else cfg.final_rel_tol
@@ -239,16 +264,20 @@ def solve_ttf_halo(
              else cfg.final_polish_passes)
     max_pol = (cfg.final_max_polish if cfg.final_max_polish is not None
                else max(cfg.final_max_passes, 4 * f_pol))
-    out, info = solve_halo_sharded(
+    # info outputs only when asked: unconsumed epilogue collectives from
+    # the info gather can overlap the caller's next dispatch and
+    # distributed-deadlock the virtual CPU mesh (round-4 dryrun)
+    out = solve_halo_sharded(
         tt0, mdl, fixed, mesh, axis=axis, n_inner=n_inner, polish=f_pol,
         rel_tol=f_tol, max_outer=cfg.final_max_passes,
         max_polish=max_pol,
-        return_info=True, z_true=Z if pad_rows else None,
+        return_info=return_info, z_true=Z if pad_rows else None,
+        x_true=X if pad_cols else None,
     )
-    out = out[..., :Z, :]
     if return_info:
-        return out, info
-    return out
+        out, info = out
+        return out[..., :Z, :X], info
+    return out[..., :Z, :X]
 
 
 def _halo_jacobi_block(tt, model_blk: gridlib.Model, fixed, n_inner, axis,
@@ -352,6 +381,118 @@ def _halo_jacobi_block(tt, model_blk: gridlib.Model, fixed, n_inner, axis,
     return tt
 
 
+def _halo_block2d(tt, model_blk: gridlib.Model, fixed, n_inner, axis_z,
+                  axis_x, z_total, x_total, replace=False, z_true=None,
+                  x_true=None):
+    """``n_inner`` full GS passes on a 2D (z, x)-decomposed grid,
+    BIT-IDENTICAL to the single-device ``sweep.gs_pass`` order.
+
+    The 2D generalisation of _halo_jacobi_block: each directional sweep
+    is *pipelined* across the mesh axis it scans (gz for z-sweeps, gx
+    for x-sweeps) and runs *parallel* across the other axis, with the
+    in-sweep carry refreshed across that other axis per line
+    (sweep._sweep_axis ``halo_axis``).  This recovers the throughput the
+    1D decomposition gives up: on an (n_sz, n_sx) mesh a full 4-sweep
+    pass costs ~2/n_sx + 2/n_sz of a single-device pass (vs (1+1/n)/2
+    for the 1D slab layout whose z-sweeps serialize at full width),
+    while memory still scales with the full device count.
+
+    Local arrays carry 2-cell halos on BOTH grid axes: (..., Zs+4,
+    Xs+4).  Halo cells are marked fixed (updates discarded); their
+    values refresh by row/column ppermutes -- full-extent transfers so
+    corner cells propagate through the second exchange.  Pre-sweep
+    neighbour reads (the band's old lines) see the last exchange;
+    same-sweep carry reads are spliced per line by refresh_carry, so
+    every update consumes exactly the values the single-device scan
+    would have (see the 1D docstring for why GS-exactness matters:
+    Jacobi-stale boundaries flip ALI stencil *selection*).
+    """
+    z_true = z_total if z_true is None else z_true
+    x_true = x_total if x_true is None else x_true
+    n_sz = jax.lax.axis_size(axis_z)
+    n_sx = jax.lax.axis_size(axis_x)
+    my_z = jax.lax.axis_index(axis_z)
+    my_x = jax.lax.axis_index(axis_x)
+
+    def exchange_z(t):
+        up = jax.lax.ppermute(
+            t[..., -4:-2, :], axis_z,
+            [(i, i + 1) for i in range(n_sz - 1)],
+        )
+        down = jax.lax.ppermute(
+            t[..., 2:4, :], axis_z,
+            [(i + 1, i) for i in range(n_sz - 1)],
+        )
+        t = t.at[..., 0:2, :].set(
+            jnp.where(my_z == 0, jnp.full_like(up, INF), up)
+        )
+        t = t.at[..., -2:, :].set(
+            jnp.where(my_z == n_sz - 1, jnp.full_like(down, INF), down)
+        )
+        return t
+
+    def exchange_x(t):
+        left = jax.lax.ppermute(
+            t[..., :, -4:-2], axis_x,
+            [(i, i + 1) for i in range(n_sx - 1)],
+        )
+        right = jax.lax.ppermute(
+            t[..., :, 2:4], axis_x,
+            [(i + 1, i) for i in range(n_sx - 1)],
+        )
+        t = t.at[..., :, 0:2].set(
+            jnp.where(my_x == 0, jnp.full_like(left, INF), left)
+        )
+        t = t.at[..., :, -2:].set(
+            jnp.where(my_x == n_sx - 1, jnp.full_like(right, INF), right)
+        )
+        return t
+
+    goff_z = my_z * (z_total // n_sz) - 2
+    goff_x = my_x * (x_total // n_sx) - 2
+    rep = jnp.asarray(replace)
+    f_ = jnp.asarray(False)
+    t_ = jnp.asarray(True)
+    zkw = dict(scan_off=goff_z, scan_total=z_true,
+               width_off=goff_x, width_total=x_true)
+    xkw = dict(scan_off=goff_x, scan_total=x_true,
+               width_off=goff_z, width_total=z_true)
+
+    def z_sweep(t, rev):
+        # both halo rings pre-sweep fresh: rows (scan carry init + ahead
+        # lines) and columns (width neighbours); row exchange second so
+        # the transferred rows carry fresh corner columns
+        t = exchange_z(exchange_x(t))
+
+        def step(s, t):
+            active = jnp.where(rev, my_z == n_sz - 1 - s, my_z == s)
+            new = sweep._sweep_axis(t, model_blk, fixed, "z", rev, rep,
+                                    halo_axis=axis_x, **zkw)
+            t = jnp.where(active, new, t)
+            return exchange_z(t)
+
+        return jax.lax.fori_loop(0, n_sz, step, t)
+
+    def x_sweep(t, rev):
+        t = exchange_x(exchange_z(t))
+
+        def step(s, t):
+            active = jnp.where(rev, my_x == n_sx - 1 - s, my_x == s)
+            new = sweep._sweep_axis(t, model_blk, fixed, "x", rev, rep,
+                                    halo_axis=axis_z, **xkw)
+            t = jnp.where(active, new, t)
+            return exchange_x(t)
+
+        return jax.lax.fori_loop(0, n_sx, step, t)
+
+    for _ in range(n_inner):
+        tt = z_sweep(tt, f_)
+        tt = z_sweep(tt, t_)
+        tt = x_sweep(tt, f_)
+        tt = x_sweep(tt, t_)
+    return tt
+
+
 def solve_halo_sharded(
     tt0,
     model: gridlib.Model,
@@ -366,6 +507,7 @@ def solve_halo_sharded(
     max_polish: int = 16,
     return_info: bool = False,
     z_true: int | None = None,
+    x_true: int | None = None,
 ):
     """Fixpoint solve on a z-sharded grid with 2-cell halo exchange.
 
@@ -396,25 +538,44 @@ def solve_halo_sharded(
 
     ``return_info=True`` appends a sweep.SolveInfo(outer passes,
     converged) diagnostic.
+
+    2D decomposition: pass ``axis=("gz", "gx")`` to split BOTH grid axes
+    across the mesh (Z divisible by mesh.shape["gz"], X by
+    mesh.shape["gx"]).  Same fp-identical semantics via _halo_block2d;
+    the 2D layout additionally parallelises each directional sweep
+    across the non-scanned mesh axis, so throughput scales instead of
+    just memory (see _halo_block2d's cost note).  ``x_true`` mirrors
+    ``z_true`` for column padding.
     """
-    nd = mesh.shape[axis]  # slabs = halo-axis extent, not total devices
+    axes = (axis,) if isinstance(axis, str) else tuple(axis)
+    two_d = len(axes) == 2
+    az = axes[0]
+    ax = axes[1] if two_d else None
+    n_sz = mesh.shape[az]  # slabs = halo-axis extent, not total devices
+    n_sx = mesh.shape[ax] if two_d else 1
     Z = tt0.shape[-2]
-    assert Z % nd == 0, (Z, nd)
+    X = tt0.shape[-1]
+    assert Z % n_sz == 0, (Z, n_sz)
+    assert X % n_sx == 0, (X, n_sx)
     batched = tt0.ndim == 3
 
-    spec_grid = P(axis, None) if not batched else P(None, axis, None)
-    spec_plane = P(axis, None)
-    spec_stif = P(axis, None, None)
-    spec_fb = P(None, axis, None)
+    xs = ax  # None -> unsharded x in the specs below
+    spec_grid = P(az, xs) if not batched else P(None, az, xs)
+    spec_plane = P(az, xs)
+    spec_stif = P(az, xs, None)
+    spec_fb = P(None, az, xs)
 
     def padz(t, val):
-        cfg = [(0, 0)] * (t.ndim - 2) + [(2, 2), (0, 0)]
+        w = (2, 2) if two_d else (0, 0)
+        cfg = [(0, 0)] * (t.ndim - 2) + [(2, 2), w]
         return jnp.pad(t, cfg, constant_values=val)
 
     def local(tt, fixed, veln, velpn, vel_map, stif, fbs, dnx, gtab, ptab):
-        # slab model with 2-row halos
+        # slab model with 2-cell halos (both grid axes when 2D)
+        w = (2, 2) if two_d else (0, 0)
+
         def padm(a, val=0.0):
-            cfg = [(2, 2)] + [(0, 0)] * (a.ndim - 1)
+            cfg = [(2, 2), w] + [(0, 0)] * (a.ndim - 2)
             return jnp.pad(a, cfg, constant_values=val)
 
         blk = gridlib.Model(
@@ -425,7 +586,7 @@ def solve_halo_sharded(
             group_tab=gtab,
             phase_tab=ptab,
             fallback_slowness=jnp.pad(
-                fbs, ((0, 0), (2, 2), (0, 0)), constant_values=1.0
+                fbs, ((0, 0), (2, 2), w), constant_values=1.0
             ),
             dnx=dnx,
             ray_curves=None,
@@ -439,9 +600,22 @@ def solve_halo_sharded(
         t = padz(tt, INF)
         f = padz(fixed, True)
 
+        def interior(a):
+            return a[..., 2:-2, 2:-2] if two_d else a[..., 2:-2, :]
+
+        def block(t, replace):
+            if two_d:
+                return _halo_block2d(
+                    t, blk, f, n_inner, az, ax, Z, X, replace=replace,
+                    z_true=z_true, x_true=x_true,
+                )
+            return _halo_jacobi_block(
+                t, blk, f, n_inner, az, Z, replace=replace, z_true=z_true,
+            )
+
         def round_delta(new, old):
-            interior_new = new[..., 2:-2, :]
-            interior_old = old[..., 2:-2, :]
+            interior_new = interior(new)
+            interior_old = interior(old)
             known = interior_new < INF * 0.5
             d = jnp.max(
                 jnp.where(
@@ -452,10 +626,16 @@ def solve_halo_sharded(
             )
             s = jnp.max(jnp.where(known, interior_new, 0.0))
             # global agreement across slabs: every device sees the same
-            # (delta, scale), so the while_loop predicates stay uniform
-            d = jax.lax.pmax(d, axis)
-            s = jax.lax.pmax(s, axis)
-            return d, s
+            # (delta, scale), so the while_loop predicates stay uniform.
+            # ONE joint-axes collective for BOTH scalars: independent
+            # collectives can be scheduled in different orders by
+            # different devices' thunk executors, which distributed-
+            # deadlocks the virtual CPU mesh (round-4 dryrun rendezvous
+            # timeouts); a single fused all-reduce keeps the collective
+            # schedule totally ordered.
+            axes = (az, ax) if two_d else az
+            ds = jax.lax.pmax(jnp.stack([d, s]), axes)
+            return ds[0], ds[1]
 
         # halo rows are marked fixed so local sweeps treat them as boundary
         # data; their values refresh from the neighbour slab each exchange.
@@ -468,10 +648,7 @@ def solve_halo_sharded(
             # True (round-3 advisor finding).
             def step(k, state):
                 t, _ = state
-                new = _halo_jacobi_block(
-                    t, blk, f, n_inner, axis, Z, replace=(k >= n_outer),
-                    z_true=z_true,
-                )
+                new = block(t, replace=(k >= n_outer))
                 return (new, t)
 
             t, t_prev = jax.lax.fori_loop(
@@ -482,8 +659,8 @@ def solve_halo_sharded(
             if return_info:
                 d, s = round_delta(t, t_prev)
                 conv = d <= 1e-6 * jnp.maximum(s, 1e-30)
-                return t[..., 2:-2, :], (jnp.asarray(n_outer), conv)
-            return t[..., 2:-2, :]
+                return interior(t), (jnp.asarray(n_outer), conv)
+            return interior(t)
 
         def cond(state):
             t, k, phase, n1, conv = state
@@ -491,10 +668,7 @@ def solve_halo_sharded(
 
         def body(state):
             t, k, phase, n1, conv = state
-            new = _halo_jacobi_block(
-                t, blk, f, n_inner, axis, Z, replace=(phase == 1),
-                z_true=z_true,
-            )
+            new = block(t, replace=(phase == 1))
             d, s = round_delta(new, t)
             converged = d <= rel_tol * jnp.maximum(s, 1e-30)
             k1 = k + 1
@@ -520,8 +694,8 @@ def solve_halo_sharded(
         )
         t, _, _, n1, conv = jax.lax.while_loop(cond, body, state)
         if return_info:
-            return t[..., 2:-2, :], (n1, conv)
-        return t[..., 2:-2, :]
+            return interior(t), (n1, conv)
+        return interior(t)
 
     out_specs = (
         (spec_grid, (P(), P())) if return_info else spec_grid

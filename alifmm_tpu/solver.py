@@ -110,6 +110,25 @@ class SolveConfig:
     # measured 4x SLOWER at worse accuracy.
     sweep_inner: int = dataclasses.field(default=0, metadata=dict(static=True))
     patch_inner: int = dataclasses.field(default=0, metadata=dict(static=True))
+    # Local-update operator: True = ALI wavefront interpolation with FD
+    # fallback (the reference's operator -- keep for qP/oracle parity).
+    # False = pure multi-stencil FD (group-speed, monotone upwind).  For
+    # CONCAVE modes (qSV triplication) the ALI phase-speed extrapolation
+    # min-locked below the true first arrival when fed the round-3
+    # INCONSISTENT shear tables (16-18% early vs the convex-hull truth,
+    # FINDINGS_r4.md); with the consistent first-arrival table pair
+    # (generate_mode_curves) ALI is sound for shear modes too, so this
+    # stays True even under for_mode("qsv").  The monotone FD operator
+    # remains available for experiments.
+    use_ali: bool = dataclasses.field(default=True, metadata=dict(static=True))
+    # Phase-1-only operator override (None = use_ali): monotone FD
+    # envelope (overshoot-only), then full-ALI replace polish
+    # contracting from above -- see ops/sweep.solve_fixpoint.  Measured
+    # on homogeneous qSV with consistent tables: NOT better than ALI
+    # everywhere (10x worse point asymmetry from sweep-history branch
+    # selection in the FD envelope); kept as an experiment knob.
+    phase1_use_ali: bool | None = dataclasses.field(
+        default=None, metadata=dict(static=True))
 
     @classmethod
     def accuracy(cls, **overrides) -> "SolveConfig":
@@ -137,8 +156,20 @@ class SolveConfig:
         if m in ("qp", "p", "l"):
             kw = {}
         elif m in ("qsv", "qsh", "sv", "sh", "s", "t"):
+            # The standard ALI operator is sound for shear modes ONCE
+            # the tables are the consistent first-arrival pair
+            # (materials.generate_mode_curves: hull group + convexified
+            # -slowness phase).  Round-4 measurements on homogeneous
+            # qSV media vs the hull truth: ALI-everywhere converges to
+            # mean ~6e-3 with 3-5e-3 point asymmetry and near-zero
+            # undershoot; the FD-envelope hybrid (phase1_use_ali=False)
+            # leaves 10x worse asymmetry; ALI with the RAW Christoffel
+            # phase table min-locks 16-18% early (FINDINGS_r4.md).  So:
+            # generous budgets + residual-driven polish, operator
+            # unchanged.
             kw = dict(patch_max_passes=24, final_max_passes=96,
-                      polish_passes=8, final_polish_passes=8)
+                      polish_passes=8, final_polish_passes=8,
+                      final_max_polish=96)
         else:
             raise ValueError(f"unknown wave mode {mode!r}")
         kw.update(overrides)
@@ -336,7 +367,8 @@ def solve_one(
         tt, _ = sweep.solve_fixpoint(
             tt, patch, fixed, rel_tol=cfg.rel_tol,
             max_passes=cfg.patch_max_passes,
-            polish_passes=cfg.polish_passes,
+            polish_passes=cfg.polish_passes, use_ali=cfg.use_ali,
+            phase1_use_ali=cfg.phase1_use_ali,
         )
         prev_tt, prev_origin = tt, (bz, bx)
 
@@ -349,6 +381,7 @@ def solve_one(
     tt, n = sweep.solve_fixpoint(
         tt, model, fixed, rel_tol=f_tol,
         max_passes=cfg.final_max_passes, polish_passes=f_pol,
+        use_ali=cfg.use_ali, phase1_use_ali=cfg.phase1_use_ali,
     )
     return tt
 
@@ -445,6 +478,7 @@ def _patch_solve_batched(tt, patches, fixed, factor, model, cfg, use_pallas):
                 max_passes=cfg.patch_max_passes,
                 polish_passes=cfg.polish_passes,
                 block=cfg.patch_block, inner=cfg.patch_inner,
+                use_ali=cfg.use_ali, phase1_use_ali=cfg.phase1_use_ali,
             )
             return out
         return jax.vmap(one)(tt, patches, fixed)
@@ -608,7 +642,8 @@ def _stage_final(model, prev_tt, prev_bz, prev_bx, cfg, use_pallas=False):
         tt, model, fixed, rel_tol=f_tol,
         max_passes=cfg.final_max_passes, polish_passes=f_pol,
         block=cfg.sweep_block, inner=cfg.sweep_inner,
-        max_polish_passes=cfg.final_max_polish,
+        max_polish_passes=cfg.final_max_polish, use_ali=cfg.use_ali,
+        phase1_use_ali=cfg.phase1_use_ali,
     )
     return tt, info
 

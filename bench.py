@@ -199,13 +199,61 @@ def child():
     def stage_log(stage, total, name, seconds):
         log(f"  warm-up stage {stage}/{total} [{name}] {seconds:.1f}s")
 
+    t_probe = time.time() - T0
+    t0 = time.time()
     run_once(0.0, progress=stage_log)  # compile warm-up (per-stage logged)
+    t_warm = time.time() - t0
     log("warm-up done")
     t0 = time.time()
     run_once(1e-9)
     dt = time.time() - t0
     log(f"measured {dt:.3f}s")
-    _emit(round(dt, 4), round(BASELINE_S / dt, 3))
+
+    # Diagnosability breakdown (VERDICT round 3 "perf is green but
+    # opaque"): a third warm run with per-stage synchronisation so the
+    # record shows WHERE the wall-clock goes.  Per-stage sync adds
+    # dispatch bubbles, so the stage times over-state the async total
+    # (the measured number above stays the fully-async one); the ray
+    # phase is timed separately the same way.
+    stages = {}
+
+    def stage_rec(stage, total, name, seconds):
+        stages[f"s{stage}_{name.split(' ')[0].strip('[]')}"] = round(
+            seconds, 4)
+
+    t0 = time.time()
+    ttfs, info = solver.solve_ttf(model, scx - 1e-9, scz, 1, cfg,
+                                  progress=stage_rec, return_info=True)
+    t_solve = time.time() - t0
+    t0 = time.time()
+    out = rayslib.trace_rays(
+        model, ttfs, tidx, src_xy, rec_xy, SUBGRID, mode="interp",
+        **RAY_OPTS,
+    )
+    jax.block_until_ready(out)
+    float(jnp.asarray(out[3]).ravel()[0])
+    t_rays = time.time() - t0
+    # Throughput estimate for the dominant final stage: grid points x
+    # sources x 4 directional sweeps x (phase-1 passes + polish) stencil
+    # updates over its wall share.  Speed-of-light context: each update
+    # evaluates ~16 ALI + 4 FD candidate stencils (branchless).
+    n_pass = int(info.passes) + (cfg.final_polish_passes or
+                                 cfg.polish_passes)
+    final_s = max(stages.get("s4_final", 1e-9), 1e-9)
+    upd_per_s = (veln.shape[0] * veln.shape[1] * len(scx) * 4 * n_pass
+                 / final_s)
+    breakdown = dict(
+        probe_s=round(t_probe, 2),
+        warmup_s=round(t_warm, 2),
+        solve_synced_s=round(t_solve, 4),
+        rays_s=round(t_rays, 4),
+        final_passes=n_pass,
+        final_converged=bool(info.converged),
+        final_gupd_per_s=round(upd_per_s / 1e9, 3),
+        **stages,
+    )
+    log(f"breakdown {json.dumps(breakdown)}")
+    _emit(round(dt, 4), round(BASELINE_S / dt, 3), breakdown=breakdown)
 
 
 # --------------------------------------------------------------------- #

@@ -17,14 +17,19 @@ Run:  JAX_PLATFORMS=cpu python bench_data/diag_analytic_r4.py
 """
 
 import os
+import sys
 import time
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
 
 import numpy as np
 
 import jax
 
+# jax 0.9 on this image ignores the JAX_PLATFORMS env var; pin via config
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 import jax.numpy as jnp  # noqa: E402
@@ -47,7 +52,7 @@ def aniso_tables():
     return g, p
 
 
-def analytic_field(N, dnx, sz, sx, veln_deg, g_tab, subgrid=1):
+def analytic_field(N, dnx, sz, sx, veln_deg, g_tab, subgrid=1, vel=1.0):
     """Exact homogeneous-medium field on the (refined) grid, original-grid
     time units like solve_ttf's output (ttn/subgrid rescale)."""
     Nf = subgrid * (N - 1) + 1
@@ -61,7 +66,10 @@ def analytic_field(N, dnx, sz, sx, veln_deg, g_tab, subgrid=1):
     lo = np.floor(ang_i).astype(int)
     frac = ang_i - lo
     v = g_tab[lo, 1] * (1 - frac) + g_tab[np.minimum(lo + 1, 360), 1] * frac
-    return dnx * np.hypot(dz, dx) / v
+    # reference semantics: velocity = table curve x vel_map cell value;
+    # fine cells are dnx/subgrid wide (solve_ttf returns true seconds,
+    # the reference's ttn/subgrid_size rescale, Anis_TTF_rays.py:2832)
+    return dnx * np.hypot(dz, dx) / (v * vel) / subgrid
 
 
 def run_case(N, dnx, veln_deg, g, p, cfg, subgrid=1, vel=1.0):
@@ -77,7 +85,7 @@ def run_case(N, dnx, veln_deg, g, p, cfg, subgrid=1, vel=1.0):
                          subgrid, cfg)
     )[0]
     wall = time.time() - t0
-    want = analytic_field(N, dnx, sz, sx, veln_deg, g, subgrid)
+    want = analytic_field(N, dnx, sz, sx, veln_deg, g, subgrid, vel=vel)
     # exclude the source point itself (t=0); relative error elsewhere
     mask = want > 0
     rel = np.abs(got - want)[mask] / want[mask]
@@ -132,6 +140,22 @@ def main():
         print(f"N={N:4d} linf={r['linf']:.3e} mean={r['mean']:.3e} "
               f"linf_far={r['linf_far']:.3e} argmax_d={r['argmax_d']:.1f} "
               f"wall={r['wall']:.1f}s")
+
+    print("== (d) stage3_half study, isotropic N=81 (coarse-path absolute "
+          "error knob: wider frozen window pushes the curvature-zone "
+          "hand-off outward at 3x finer h) ==")
+    for s3 in (None, 19, 25):
+        cfg_d = solver.SolveConfig.accuracy(stage3_half=s3)
+        r = run_case(81, 1e-3, 0.0, iso_tab, iso_tab, cfg_d, vel=3000.0)
+        print(f"s3={s3} linf={r['linf']:.3e} mean={r['mean']:.3e} "
+              f"argmax_d={r['argmax_d']:.1f} wall={r['wall']:.1f}s")
+
+    print("== (d2) stage3_half on homogeneous aniso veln=30, N=81 ==")
+    for s3 in (None, 25):
+        cfg_d = solver.SolveConfig.accuracy(stage3_half=s3)
+        r = run_case(81, 1e-3, 30.0, g, p, cfg_d)
+        print(f"s3={s3} linf={r['linf']:.3e} mean={r['mean']:.3e} "
+              f"argmax_d={r['argmax_d']:.1f} wall={r['wall']:.1f}s")
 
 
 if __name__ == "__main__":

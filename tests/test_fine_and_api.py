@@ -58,6 +58,68 @@ def test_fine_grid_solve_golden():
     assert rel.mean() < 4e-3, rel.mean()
 
 
+def test_fine_grid_accuracy_preset_golden_iso():
+    """subgrid=9 (the ray production path) with the ACCURACY preset vs
+    the reference travel_finer_grid: isotropic parity tightens from the
+    default-config 4e-2 envelope to L-inf < 4.5e-3 (measured 2.9e-3,
+    mean 3.5e-4 -- bench_data/diag_analytic_r4.py round-4 sweep)."""
+    Z, X = 19, 17
+    dnx = 1e-3
+    veln = np.zeros((Z, X))
+    velpn = np.ones((Z, X), dtype=int)
+    vel_map = 3000.0 * np.ones((Z, X))
+    tab = np.ones((361, 2))
+    tab[:, 0] = np.arange(361)
+    sz, sx = 9, 8
+    want = ref.travel_finer_grid(
+        sx * dnx, sz * dnx, veln, velpn.astype(int), vel_map, None, 9,
+        tab, tab, 0, 0, dnx, dnx,
+    )
+    model = gridlib.make_model(
+        veln, velpn, vel_map, None, tab, tab, dnx, dtype=jnp.float64
+    )
+    got = np.asarray(
+        solver.solve_ttf(model, np.array([sx * dnx]), np.array([sz * dnx]),
+                         subgrid_size=9, cfg=solver.SolveConfig.accuracy())
+    )[0]
+    mask = want > 0
+    rel = np.abs(got - want)[mask] / want[mask]
+    assert rel.max() < 4.5e-3, rel.max()
+    assert rel.mean() < 6e-4, rel.mean()
+
+
+def test_fine_grid_accuracy_preset_golden_random_aniso():
+    """Adversarial per-cell random orientations at subgrid=9 with the
+    accuracy preset: the mean tightens to < 3.5e-3 (measured 2.4e-3)
+    with an honest L-inf envelope < 5e-2 (measured 3.9e-2; heap-order
+    partial-knowledge candidates dominate the tail on rough media,
+    tests/test_accuracy_mode.py module docstring)."""
+    Z, X = 19, 17
+    dnx = 1e-3
+    rng = np.random.default_rng(3)
+    g, p = _aniso_tables()
+    veln = np.round(rng.uniform(0, 180, (Z, X)))
+    velpn = np.ones((Z, X), dtype=int)
+    vel_map = np.ones((Z, X))
+    sz, sx = 9, 8
+    want = ref.travel_finer_grid(
+        sx * dnx, sz * dnx, veln, velpn.astype(int), vel_map, None, 9,
+        g, p, 0, 0, dnx, dnx,
+    )
+    model = gridlib.make_model(
+        veln, velpn, vel_map, None, g, p, dnx, dtype=jnp.float64
+    )
+    got = np.asarray(
+        solver.solve_ttf(model, np.array([sx * dnx]), np.array([sz * dnx]),
+                         subgrid_size=9, cfg=solver.SolveConfig.accuracy())
+    )[0]
+    mask = want > 0
+    rel = np.abs(got - want)[mask] / want[mask]
+    assert rel.max() < 5e-2, rel.max()
+    assert rel.mean() < 3.5e-3, rel.mean()
+    assert np.quantile(rel, 0.99) < 3e-2, np.quantile(rel, 0.99)
+
+
 @pytest.fixture
 def small_setup():
     Z, X = 31, 29

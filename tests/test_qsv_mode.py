@@ -1,29 +1,30 @@
 """qSV shear-mode tests (BASELINE config "qSV/qSH").
 
 There is NO oracle for qSV: the reference was never run with shear
-tables upstream, and its heap+ALI operator embeds convex-slowness (qP)
-assumptions.  The qSV group curve has CONCAVE sectors, where the true
-first arrival in even a homogeneous medium is NOT the straight ray but
-a faster multi-segment path through convex-hull directions; measured on
-a homogeneous 140-degree qSV medium (bench_data/diag_qsv_r3b.py): the
-sweep solver returns hull arrivals (e.g. 1.53us vs the straight ray's
-2.44us at a concave direction) while the reference heap march returns
-neither the straight ray nor the hull (2.33us) -- so pointwise parity
-against it is not a meaningful target for shear modes.
+tables upstream, and shear modes are concave -- the true first arrival
+in even a homogeneous medium is NOT the straight ray in triplication
+sectors but a faster multi-segment path along the CONVEX HULL of the
+wave surface.
 
-Even straight-ray/convex-hull equalities are not assertable: at
-triplication sectors the binned group table and the phase table carry
-different branches, and the solver's mixed ALI(phase)/FD(group)
-operator realises speeds between them (48% gaps vs group-table
-straight rays in BOTH directions, diag_qsv_r3b.py).
+Round 4 closed the round-3 "mixed triplication branches" gap:
+materials.generate_mode_curves now builds the consistent first-arrival
+table pair -- hull group curve (plane-wave envelope of the Christoffel
+phase curve) + convexified-slowness phase curve (radial -> support ->
+radial round trip, an exact involution on convex modes).  With ONE
+convex wavefront described by both tables, the standard ALI operator
+converges to the hull first-arrival on homogeneous media:
 
-What IS pinned here:
-* the convergence machinery: SolveConfig.for_mode("qsv") budgets
-  converge where the default budget honestly reports not-converged;
-* table-semantics-independent physics on a homogeneous medium: point
-  symmetry about the source and speed-range bounds.
-(The sharded-vs-single qSV guarantee lives in tests/test_shard.py and
-is fp-exact.)
+    measured (33x37, for_mode("qsv"), float64, FINDINGS_r4.md):
+      veln=140: L-inf 5.35e-2, mean 5.7e-3, undershoot >= -6.1e-3,
+                point asymmetry <= 3.2e-3
+      veln=0:   L-inf 7.75e-2, mean 6.4e-3, undershoot >= +1.0e-3,
+                point asymmetry <= 4.6e-3
+
+(The residual L-inf sits at the hull's cusp-bridge corner sectors where
+the wavefront is non-smooth; it is overshoot-dominated -- the field
+essentially never beats the true first arrival.)  Round 3's raw-table
+behaviour for comparison: 16-18% UNDERSHOOT (unphysically early,
+ALI min-lock on phantom fast plane waves) and 28% point asymmetry.
 """
 
 import numpy as np
@@ -57,6 +58,40 @@ def _rough_model(Z=33, X=37, dnx=5e-4):
     return model, dnx
 
 
+def test_mode_tables_are_consistent_first_arrival_pair():
+    """Table-level physics: (a) the group/phase pair is a polar-dual
+    pair (radial/support of one convex body); (b) on the convex qP mode
+    the constructions reduce to the classical curves (involution)."""
+    gtab, ptab = _qsv_tables()
+    g, p = gtab[:, 1], ptab[:, 1]
+    # (a) duality: group must equal the plane envelope of the phase
+    # table, phase the support of the group curve -- both to table
+    # resolution
+    th = np.radians(np.arange(361.0))
+    phi = np.linspace(0, 2 * np.pi, 7200, endpoint=False)
+    p_dense = np.interp(np.degrees(phi) % 360, np.arange(361.0), p,
+                        period=360.0)
+    g_from_p = mats._radial_from_support(phi, p_dense, th)
+    assert np.abs(g_from_p - g).max() / g.max() < 2e-3
+    g_dense = np.interp(np.degrees(phi) % 360, np.arange(361.0), g,
+                        period=360.0)
+    p_from_g = mats._support_from_radial(phi, g_dense, th)
+    assert np.abs(p_from_g - p).max() / p.max() < 2e-3
+    # (b) qP: hull group == classical group curve up to the reference
+    # closed form's own ~0.5% approximate inversion (FINDINGS_r4.md),
+    # and the convexified phase == Christoffel phase exactly
+    c = (263e9, 145e9, 216e9, 129e9, 7800.0)
+    g_qp, p_qp = mats.generate_mode_curves(*c, mode="qP")
+    ref_g = mats.generate_group_vel_curve(*c)
+    assert (np.abs(g_qp - ref_g) / ref_g).max() < 6e-3
+    p_ch = np.zeros(361)
+    p_ch[:181] = mats._phase_velocity_mode(
+        np.radians(np.arange(181.0)), c[0], c[1], c[2], c[3], c[3], c[4],
+        "qP")
+    p_ch[181:] = p_ch[1:181]
+    assert (np.abs(p_qp - p_ch) / p_ch).max() < 1e-6
+
+
 def test_qsv_mode_converges_with_mode_budget():
     model, dnx = _rough_model()
     cfg = solver.SolveConfig.for_mode("qsv")
@@ -86,19 +121,52 @@ def test_qsv_default_budget_reports_unconverged_or_converged_honestly():
         assert int(np.asarray(info_def.passes)) == 16  # hit the cap
 
 
-def test_qsv_homogeneous_speed_bounds():
-    """Homogeneous qSV medium: the only table-semantics-independent
-    pointwise property left standing.
+def test_qsv_homogeneous_hull_arrivals():
+    """Homogeneous qSV media: the solver field must match the analytic
+    convex-hull first arrival t = d / v_hull(ray angle) POINTWISE --
+    the assert the round-3 mixed-branch tables could not support (48%
+    gaps then; measured envelopes now in the module docstring)."""
+    Z, X = 33, 37
+    dnx = 5e-4
+    gtab, ptab = _qsv_tables()
+    g = gtab[:, 1]
+    sz, sx = 16, 18
+    for veln0 in (140.0, 0.0):
+        model = gridlib.make_model(
+            veln0 * np.ones((Z, X)), np.ones((Z, X), dtype=int),
+            np.ones((Z, X)), None, gtab, ptab, dnx, dtype=jnp.float64,
+        )
+        got = np.asarray(solver.solve_ttf(
+            model, np.array([sx * dnx]), np.array([sz * dnx]), 1,
+            solver.SolveConfig.for_mode("qsv"),
+        ))[0]
+        zz, xx = np.meshgrid(np.arange(Z), np.arange(X), indexing="ij")
+        dz = zz - sz
+        dx = xx - sx
+        ang = np.where(dx == 0, 90.0, np.degrees(
+            np.arctan(dz / np.where(dx == 0, 1, dx))))
+        eff = np.mod(veln0 - ang, 180.0)
+        lo = np.floor(eff).astype(int)
+        fr = eff - lo
+        vh = g[lo] * (1 - fr) + g[np.minimum(lo + 1, 360)] * fr
+        want = dnx * np.hypot(dz, dx) / vh
+        mask = want > 0
+        safe = np.where(mask, want, 1.0)
+        rel = (np.abs(got - want) / safe)[mask]
+        srel = ((got - want) / safe)[mask]
+        asym = (np.abs(got - got[::-1, ::-1]) / safe)[mask]
+        assert rel.mean() < 1.2e-2, (veln0, rel.mean())
+        assert rel.max() < 1.1e-1, (veln0, rel.max())
+        # first-arrival character: essentially never EARLIER than the
+        # true first arrival (the round-3 min-lock was -16/-18%)
+        assert srel.min() > -2e-2, (veln0, srel.min())
+        # branch selection is symmetric about the source (was 28%)
+        assert asym.max() < 1.5e-2, (veln0, asym.max())
 
-    Straight-ray / convex-hull equalities are NOT assertable (48% gaps
-    both ways, diag_qsv_r3b.py: group and phase tables carry different
-    triplication branches), and even point symmetry about the source
-    breaks at the 28% level -- the ambiguous tables admit MANY discrete
-    fixpoints and the sweep-direction history selects branches
-    asymmetrically (all converged, all self-consistent).  What must
-    hold for any branch selection: arrivals lie between d/v_max and
-    d/v_min of the group+phase table union.
-    """
+
+def test_qsv_homogeneous_speed_bounds():
+    """Branch-independent sanity: arrivals lie between d/v_max and
+    d/v_min of the table union (kept from round 3)."""
     Z, X = 33, 37
     dnx = 5e-4
     veln0 = 140.0
