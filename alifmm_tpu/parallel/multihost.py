@@ -58,7 +58,16 @@ def init(coordinator_address: str | None = None,
     call's result.
     """
     global _initialized, _init_result
-    if _init_result is not None:
+    explicit_args = any(
+        a is not None
+        for a in (coordinator_address, num_processes, process_id,
+                  local_device_ids)
+    )
+    # A cached False only short-circuits auto-detect calls: an earlier
+    # no-argument call in a non-distributed environment must not swallow a
+    # later EXPLICIT initialisation (ADVICE round 4).  A successful init
+    # (True) is always cached -- jax.distributed can only init once.
+    if _init_result is not None and (_init_result or not explicit_args):
         return _init_result
     env = os.environ
     if coordinator_address is None:

@@ -138,22 +138,41 @@ def trace_rays_sharded(
     ttf_index = jax.device_put(ttf_index, NamedSharding(mesh, P(axis)))
     rec_ttf = jax.device_put(rec_ttf, NamedSharding(mesh, P()))
 
-    def local(ttf, tidx, sxy, rxy):
-        # model rides in by closure -> replicated on every device
-        return rayslib.trace_rays(model, ttf, tidx, sxy, rxy,
-                                  subgrid_size, mode=mode, **kw)
-
-    fn = jax.shard_map(
-        local,
-        mesh=mesh,
-        in_specs=(P(), P(axis), P(axis, None), P(axis, None)),
-        out_specs=(P(axis, None), P(axis, None), P(axis), P(axis)),
-        check_vma=False,
-    )
-    rx, ry, lens, times = jax.jit(fn)(
-        rec_ttf, ttf_index, source_xy, receiver_xy
+    fn = _trace_sharded_fn(mesh, axis, int(subgrid_size), mode,
+                           tuple(sorted(kw.items())))
+    rx, ry, lens, times = fn(
+        model, rec_ttf, ttf_index, source_xy, receiver_xy
     )
     return rx[:n], ry[:n], lens[:n], times[:n]
+
+
+_TRACE_SHARDED_CACHE: dict = {}
+
+
+def _trace_sharded_fn(mesh, axis, subgrid_size, mode, kw_items):
+    """Jitted shard_map for trace_rays_sharded, cached per
+    (mesh, axis, subgrid, mode, static kw) so repeated FMC-style ray
+    batches reuse ONE compiled executable instead of retracing a fresh
+    closure every call (ADVICE round 4).  The model rides in as a
+    replicated (P()) argument, keeping the program collective-free."""
+    key = (mesh, axis, subgrid_size, mode, kw_items)
+    fn = _TRACE_SHARDED_CACHE.get(key)
+    if fn is None:
+        kw = dict(kw_items)
+
+        def local(mdl, ttf, tidx, sxy, rxy):
+            return rayslib.trace_rays(mdl, ttf, tidx, sxy, rxy,
+                                      subgrid_size, mode=mode, **kw)
+
+        fn = jax.jit(jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(), P(), P(axis), P(axis, None), P(axis, None)),
+            out_specs=(P(axis, None), P(axis, None), P(axis), P(axis)),
+            check_vma=False,
+        ))
+        _TRACE_SHARDED_CACHE[key] = fn
+    return fn
 
 
 def solve_ttf_halo(

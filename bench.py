@@ -237,8 +237,9 @@ def child():
     # sources x 4 directional sweeps x (phase-1 passes + polish) stencil
     # updates over its wall share.  Speed-of-light context: each update
     # evaluates ~16 ALI + 4 FD candidate stencils (branchless).
-    n_pass = int(info.passes) + (cfg.final_polish_passes or
-                                 cfg.polish_passes)
+    f_pol = (cfg.polish_passes if cfg.final_polish_passes is None
+             else cfg.final_polish_passes)
+    n_pass = int(info.passes) + f_pol
     final_s = max(stages.get("s4_final", 1e-9), 1e-9)
     upd_per_s = (veln.shape[0] * veln.shape[1] * len(scx) * 4 * n_pass
                  / final_s)

@@ -264,3 +264,37 @@ def test_halo_converged_qsv_tight():
     )
     single = np.asarray(single)
     np.testing.assert_allclose(sharded, single, rtol=1e-6, atol=0)
+
+
+def test_trace_rays_sharded_matches_and_caches():
+    """Sharded ray batches match the unsharded tracer bit-for-bit, and
+    repeated calls with the same (mesh, config) reuse ONE compiled
+    executable (ADVICE round 4: a fresh closure was retraced per call)."""
+    from alifmm_tpu import rays as rayslib
+
+    model = _model()
+    dnx = 1e-3
+    cfg = solver.SolveConfig()
+    scx = dnx * np.array([6.0, 30.0])
+    scz = dnx * np.array([0.0, 0.0])
+    ttfs = solver.solve_ttf(model, scx, scz, 1, cfg)
+    s = 3
+    src_xy = jnp.asarray([[6.0 * s, 0.0], [30.0 * s, 0.0],
+                          [6.0 * s, 0.0], [30.0 * s, 0.0]])
+    rec_xy = jnp.asarray([[20.0 * s, 31.0 * s]] * 4)
+    tidx = jnp.asarray([0, 1, 0, 1])
+    mesh = Mesh(np.array(jax.devices()[:4]), ("src",))
+    kw = dict(max_steps=80, step_scale=2, relax_iters=1)
+    shard._TRACE_SHARDED_CACHE.clear()
+    out_s = shard.trace_rays_sharded(
+        model, ttfs, tidx, src_xy, rec_xy, s, mesh, **kw)
+    out_u = rayslib.trace_rays(
+        model, ttfs, tidx, src_xy, rec_xy, s, mode="interp", **kw)
+    for a, b in zip(out_s, out_u):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert len(shard._TRACE_SHARDED_CACHE) == 1
+    # second call (different coords, same config): cache must not grow
+    out_s2 = shard.trace_rays_sharded(
+        model, ttfs, tidx, src_xy + 1.0, rec_xy, s, mesh, **kw)
+    assert len(shard._TRACE_SHARDED_CACHE) == 1
+    assert np.asarray(out_s2[3]).shape == (4,)
