@@ -243,9 +243,10 @@ def interp_table_gather(table, eff_angle_deg, mat_idx, vel_map):
     M = table.shape[1]
     flat = table.reshape(-1)
     m = mat_idx.astype(jnp.int32)
-    v1 = jnp.take(flat, a1 * M + m)
-    v2 = jnp.take(flat, a2 * M + m)
-    return vel_map * ((1.0 - w) * v1 + w * v2)
+    # one stacked gather, not two: each take lowers to its own gather
+    # kernel, and the ray-march inner loop is launch-latency-bound
+    v12 = jnp.take(flat, jnp.stack([a1 * M + m, a2 * M + m]))
+    return vel_map * ((1.0 - w) * v12[0] + w * v12[1])
 
 
 def column_info(table, used=None):

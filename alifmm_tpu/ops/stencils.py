@@ -502,6 +502,7 @@ def local_update(
     causal: bool = False,
     vel_fn=None,
     use_ali: bool = True,
+    use_fd: bool = True,
 ):
     """One local solve at every point of a block.
 
@@ -528,7 +529,20 @@ def local_update(
     parallel-in-block phase-1 envelope (ops/sweep.gs_pass ``inner``)
     relies on this to stay min-lock-safe.
     """
-    fouds_val = _fouds_candidate(nbr, known, inb, fbs, tt_center, dnx, causal)
+    if not (use_ali or use_fd):
+        raise ValueError("local_update needs at least one of use_ali/use_fd")
+    if use_fd:
+        fouds_val = _fouds_candidate(nbr, known, inb, fbs, tt_center, dnx,
+                                     causal)
+    else:
+        # ``use_fd=False`` (replace-polish fast path): skip the FD fallback
+        # entirely -- it is ~75% of the branchless update's cost
+        # (bench_data/FINDINGS_r2.md) yet on a near-converged field the ALI
+        # candidate is valid almost everywhere.  Where it is not, INF makes
+        # the replace accumulation keep the phase-1 value (which WAS
+        # computed with the fallback), so FD-determined points keep their
+        # envelope values instead of degrading.
+        fouds_val = jnp.full_like(tt_center, INF)
     if not use_ali:
         return fouds_val
     angle, dist, wtime, imax = _ali_candidate(nbr, known, edges)

@@ -321,7 +321,7 @@ def _pad_tail2(a, S, mode, cv=None, axes=(-2, -1)):
 
 def gs_pass(tt, model: gridlib.Model, fixed, replace=False, block: int = 1,
             inner: int = 0, inner_use_ali: bool = False,
-            use_ali: bool = True):
+            use_ali: bool = True, use_fd: bool = True):
     """One full Gauss-Seidel pass: down, up, left, right line sweeps as a
     single ``lax.scan`` over the four directions.
 
@@ -506,7 +506,7 @@ def gs_pass(tt, model: gridlib.Model, fixed, replace=False, block: int = 1,
             )
             new = _band_step_traced(
                 band, S, is_x, z_ok, edges, wok, x["mats"], model, model.dnx,
-                use_ali=use_ali,
+                use_ali=use_ali, use_fd=use_fd,
             )
             old_center = x["old0"][..., 2 : 2 + S]
             acc_min = jnp.minimum(old_center, new)
@@ -630,7 +630,7 @@ def gs_pass(tt, model: gridlib.Model, fixed, replace=False, block: int = 1,
 
 
 def _band_step_traced(band, W, is_x, z_ok, edges, wok, center, model, dnx,
-                      use_ali=True):
+                      use_ali=True, use_fd=True):
     """_band_step with a *traced* axis flag: neighbour views select between
     the (dz, dx) and transposed (dx, dz) band offsets with jnp.where, so
     one instantiation serves both sweep axes."""
@@ -660,6 +660,7 @@ def _band_step_traced(band, W, is_x, z_ok, edges, wok, center, model, dnx,
         dnx,
         causal=True,
         use_ali=use_ali,
+        use_fd=use_fd,
     )
 
 
@@ -683,6 +684,7 @@ def solve_fixpoint(
     max_polish_passes: int | None = None,
     use_ali: bool = True,
     phase1_use_ali: bool | None = None,
+    polish_use_fd: bool = True,
 ):
     """Two-phase fixpoint solve (see module docstring).
 
@@ -718,7 +720,12 @@ def solve_fixpoint(
     mp2 = polish_passes if max_polish_passes is None else max_polish_passes
     p1_ali = use_ali if phase1_use_ali is None else phase1_use_ali
 
-    if inner or p1_ali != use_ali:
+    # ``polish_use_fd=False``: replace-polish passes skip the FD fallback
+    # (see stencils.local_update use_fd) -- a perf mode for production
+    # solves where phase 1 has already established every FD-determined
+    # value; needs the two-loop form (its polish body differs from the
+    # phase-1 body).
+    if inner or p1_ali != use_ali or not polish_use_fd:
         def cond1(state):
             tt, prev, k, n1, conv = state
             return k < max_passes
@@ -754,7 +761,7 @@ def solve_fixpoint(
             # legacy fixed count
             tt, prev, k = state
             new = gs_pass(tt, model, fixed, replace=True, block=block,
-                          inner=0, use_ali=use_ali)
+                          inner=0, use_ali=use_ali, use_fd=polish_use_fd)
             known = new < INF * 0.5
             delta = jnp.max(
                 jnp.where(known | (tt < INF * 0.5), jnp.abs(new - tt), 0.0)

@@ -106,12 +106,95 @@ def _group_velocity_cell(model, mat_row, eff):
 def segment_time(model: gridlib.Model, mat_flat, x1, y1, x2, y2,
                  subgrid_size, max_cross: int = 16):
     """Straight-segment travel time between fine-grid points, integrating
-    cell by cell exactly like time_between_points.
+    cell by cell exactly like time_between_points
+    (Anis_TTF_rays.py:2835-2989) -- but with the crossings enumerated in
+    CLOSED FORM instead of walked sequentially.
+
+    The reference (and the previous scan implementation) advances one
+    cell-boundary crossing per step, a chain of ``max_cross`` dependent
+    tiny steps that is pure launch latency on TPU.  A straight segment's
+    x- and y-boundary crossings are two arithmetic sequences in the
+    segment parameter t: merging them is ONE vectorised sort over
+    2*max_cross+2 breakpoints, after which every interval's midpoint
+    cell, length and velocity evaluate in parallel (one gather + one
+    velocity evaluation for all intervals at once).
+
+    Semantics match the walk exactly (same midpoint-picks-the-cell rule,
+    same accumulation), with one improvement: ``max_cross`` here bounds
+    the crossings PER AXIS, and the final breakpoint is always the
+    segment end -- a segment with more crossings than slots integrates
+    its full length with coarser material sampling instead of silently
+    truncating the distance (the old walk under-estimated long
+    appended-receiver tails).
 
     All coordinate arguments broadcast (the caller batches over rays and
-    candidates).  ``max_cross`` bounds the number of cell-boundary crossings
-    (the plane-search geometry keeps segments under ~6 cells).
+    candidates).
     """
+    Z, X = model.shape
+    dt = model.vel_map.dtype
+    s = subgrid_size
+    x1, x2 = x1 / s, x2 / s
+    y1, y2 = y1 / s, y2 / s
+
+    dx = x2 - x1
+    dy = y2 - y1
+    dx_zero = dx == 0
+    dy_zero = dy == 0
+    angle = jnp.where(
+        dx_zero,
+        0.0,
+        jnp.degrees(jnp.arctan(dy / jnp.where(dx_zero, 1.0, dx))),
+    )
+    length = jnp.sqrt(dx * dx + dy * dy)
+
+    shp = jnp.broadcast_shapes(jnp.shape(x1), jnp.shape(x2),
+                               jnp.shape(y1), jnp.shape(y2))
+    x1 = jnp.broadcast_to(jnp.asarray(x1, dt), shp)
+    y1 = jnp.broadcast_to(jnp.asarray(y1, dt), shp)
+    k = jnp.arange(max_cross, dtype=dt).reshape((max_cross,) + (1,) * len(shp))
+
+    def axis_ts(p1, d, zero):
+        # crossing parameters t_k of p(t) = p1 + t*d with the boundaries
+        # round(p1) + sign(d)*(k + 1/2); monotone in k, clipped to the
+        # segment end so out-of-range crossings become zero-length tail
+        # intervals
+        sgn = jnp.where(d < 0, -1.0, 1.0)
+        d_safe = jnp.where(zero, 1.0, d)
+        t = (jnp.round(p1) + sgn * (k + 0.5) - p1) / d_safe
+        return jnp.where(zero, 1.0, jnp.clip(t, 0.0, 1.0))
+
+    tx = axis_ts(x1, dx, dx_zero)
+    ty = axis_ts(y1, dy, dy_zero)
+    one = jnp.ones((1,) + shp, dt)
+    t = jnp.sort(jnp.concatenate([tx, ty, one], axis=0), axis=0)
+    t0 = jnp.concatenate([jnp.zeros((1,) + shp, dt), t[:-1]], axis=0)
+    # interval midpoints pick the material cell (reference midpoint rule,
+    # Anis_TTF_rays.py:2939-2940); zero-length intervals contribute 0
+    tm = 0.5 * (t0 + t)
+    x_pos = jnp.clip(jnp.round(x1 + tm * dx).astype(jnp.int32), 0, X - 1)
+    y_pos = jnp.clip(jnp.round(y1 + tm * dy).astype(jnp.int32), 0, Z - 1)
+    dists = model.dnx * length * (t - t0)
+    row = jnp.take(mat_flat, y_pos * X + x_pos, axis=0)
+    eff = jnp.mod(row[..., 0] - angle[None], 180.0)
+    vel = _group_velocity_cell(model, row, eff)
+    return jnp.sum(dists / vel, axis=0)
+
+
+def _segment_time_walk(model: gridlib.Model, mat_flat, x1, y1, x2, y2,
+                       subgrid_size, max_cross: int = 16):
+    """Sequential crossing-walk segment integrator: the original
+    step-by-step traversal of time_between_points (one crossing per scan
+    step, ``max_cross`` crossings TOTAL, truncating beyond).
+
+    Numerically this and segment_time agree to ~1e-15 relative, but the
+    ray march's candidate argmin sits in a Fermat valley flat to < 1e-9 s,
+    where even reassociation-level differences shift the chosen vertex by
+    a fraction of a cell.  Reference *path* parity (find_ray vertex
+    positions, tests/test_rays_golden.py) therefore needs the scoring
+    arithmetic to follow the reference walk exactly -- so the
+    ``quad_vel=False`` parity mode of trace_rays scores with this walk,
+    while production modes and final integration use the faster sorted
+    closed form (segment_time)."""
     Z, X = model.shape
     dt = model.vel_map.dtype
     s = subgrid_size
@@ -175,10 +258,6 @@ def segment_time(model: gridlib.Model, mat_flat, x1, y1, x2, y2,
         x1 + zeros, y1 + zeros, next_x0 + zeros, next_y0 + zeros,
         jnp.zeros_like(zeros, bool), jnp.zeros_like(zeros, bool),
     )
-    # Phase 1 (scan): geometry only -- gather-free, latency-light.
-    # Phase 2 (batched): one gather + one velocity evaluation over all
-    # (max_cross, ...) crossings at once, which keeps the VPU full instead
-    # of issuing max_cross tiny dependent evaluations.
     _, (dists, cells) = jax.lax.scan(body, state, None, length=max_cross)
     row = jnp.take(mat_flat, cells, axis=0)
     eff = jnp.mod(row[..., 0] - angle[None], 180.0)
@@ -457,12 +536,41 @@ def _sample_ttf(ttf, x, y, subgrid_size, mode):
     )
 
 
+def _uniform_mask(model: gridlib.Model, radius: int):
+    """Per-cell mask: True where every material field is constant within a
+    Chebyshev ``radius`` (coarse cells) -- i.e. the medium is locally
+    homogeneous, so a straight segment through the neighbourhood is exactly
+    Fermat-optimal and coarse quadrature scoring is exact.  Computed with
+    separable 1D min/max pools (two passes per field)."""
+    import jax.lax as lax
+
+    def pool1(a, op, init, axis):
+        return lax.reduce_window(
+            a, init, op,
+            (2 * radius + 1, 1) if axis == 0 else (1, 2 * radius + 1),
+            (1, 1), "SAME",
+        )
+
+    def uniform(f):
+        f = f.astype(jnp.float32)
+        mx = pool1(pool1(f, lax.max, -jnp.inf, 0), lax.max, -jnp.inf, 1)
+        mn = pool1(pool1(f, lax.min, jnp.inf, 0), lax.min, jnp.inf, 1)
+        return mx == mn
+
+    ok = uniform(model.veln) & uniform(model.velpn) & uniform(model.vel_map)
+    if model.has_stif:
+        for c in range(5):
+            ok &= uniform(model.stif[..., c])
+    return ok
+
+
 @partial(
     jax.jit,
     static_argnames=(
         "subgrid_size", "mode", "max_steps", "max_cross", "exact_materials",
         "step_scale", "quad_vel", "return_reason", "relax_iters",
-        "cand_stride", "relax_quad",
+        "cand_stride", "relax_quad", "fast_step_scale", "plane_dist",
+        "near_step",
     ),
 )
 def trace_rays(
@@ -482,6 +590,9 @@ def trace_rays(
     relax_iters: int = 0,
     cand_stride: float = 1.0,
     relax_quad: bool | int = True,
+    fast_step_scale: int = 0,
+    plane_dist: int = 3,
+    near_step: int = 1,
 ):
     """March rays from ``source_xy`` to ``receiver_xy`` through the
     receiver's travel-time field (find_ray, Anis_TTF_rays.py:3104-3465).
@@ -510,6 +621,20 @@ def trace_rays(
       unchanged wherever the quadrature ranks candidates like the exact
       integral (it does except for hair-thin ties near material
       boundaries); final times are exact either way.
+    * ``fast_step_scale=m`` (m > step_scale) marches m coarse cells per
+      step wherever the medium is locally HOMOGENEOUS within the step's
+      reach (_uniform_mask: all material fields constant within
+      m + 4 cells), dropping back to ``step_scale`` near material
+      structure and to the reference stride near the receiver.  In a
+      homogeneous neighbourhood the Fermat path is exactly straight and
+      quadrature candidate scoring is exact, so long strides lose no
+      accuracy there -- where long strides DO break (thin slow features:
+      overshoot trips the increasing-TT truncation guard,
+      bench_data/FINDINGS_r2.md) the mask forces the careful stride.  On
+      the weld workload (mostly uniform parent metal) this cuts the
+      while-loop iteration count ~2x, and the shorter step buffer
+      (``max_steps`` can shrink to match) cuts the relaxation and exact
+      integration cost proportionally.
     """
     Z, X = model.shape
     s = int(subgrid_size)
@@ -525,7 +650,12 @@ def trace_rays(
         max_steps = -(-5 * (Z + X) // k_step)
     P = max_steps + 2
 
-    plane_dist = 3
+    # ``plane_dist=3`` is the reference search geometry (:3133-3136); a
+    # larger value widens the candidate window, raising the maximum bend
+    # angle per step -- needed when step_scale outgrows the default window
+    # (bend cap atan(sd / (step_scale * s)) traps refracting rays at
+    # orientation-domain boundaries and trips the truncation guard).
+    plane_dist = int(plane_dist)
     sd = plane_dist * s + 1                      # search_dist (:3134)
     sd2 = (plane_dist - 1) * s + 1               # search_dist_2 (:3136)
     # Candidate spacing along the plane: the reference evaluates every fine
@@ -537,15 +667,19 @@ def trace_rays(
 
     mat_flat = _material_flat(model, exact_materials)
     sqrt2 = np.sqrt(2.0)
+    k_fast = int(fast_step_scale)
+    k_eff = max(k_step, k_fast)
+    if k_fast > 0:
+        fast_flat = _uniform_mask(model, k_fast + 4).reshape(-1)
     # In-loop scoring must resolve every crossing of the longest candidate
     # segment: near the Fermat minimum the TT-over-candidates curve is flat
     # to ~1e-9 s, so a truncated walk (or a coarse quadrature) mis-ranks
     # candidates and trips the "increasing" truncation guard.  The longest
     # segment spans ~(step + 2) cells per axis.
-    if k_step == 1:
+    if k_eff == 1:
         in_cross = max_cross
     else:
-        in_cross = max(max_cross, 2 * (k_step + 2) + 4)
+        in_cross = max(max_cross, 2 * (k_eff + 2) + 4)
 
     src_x = source_xy[:, 0].astype(dt)
     src_y = source_xy[:, 1].astype(dt)
@@ -579,15 +713,16 @@ def trace_rays(
         fx = (cx - x0).astype(dt)
         fy = (cy - y0).astype(dt)
         base = off + y0 * TX + x0
-        v00 = jnp.take(flat_all, base)
-        v01 = jnp.take(flat_all, base + 1)
-        v10 = jnp.take(flat_all, base + TX)
-        v11 = jnp.take(flat_all, base + TX + 1)
+        # one stacked gather for the 4 bilinear corners (launch latency
+        # dominates the march iteration; 4 separate takes = 4 kernels)
+        v = jnp.take(
+            flat_all, jnp.stack([base, base + 1, base + TX, base + TX + 1])
+        )
         return (
-            v00 * (1 - fy) * (1 - fx)
-            + v01 * (1 - fy) * fx
-            + v10 * fy * (1 - fx)
-            + v11 * fy * fx
+            v[0] * (1 - fy) * (1 - fx)
+            + v[1] * (1 - fy) * fx
+            + v[2] * fy * (1 - fx)
+            + v[3] * fy * fx
         )
 
     def step(state):
@@ -600,9 +735,23 @@ def trace_rays(
         vec_x = jnp.where(snap, rec_x - last_x, vec_x)
         vec_y = jnp.where(snap, rec_y - last_y, vec_y)
         # step_scale > 1: long strides far from the receiver, reference
-        # stride s inside (k_step + 3) * s so the approach stays gentle
+        # stride s inside (k_step + 3) * s so the approach stays gentle;
+        # fast_step_scale: even longer strides where the medium is locally
+        # homogeneous (and the receiver is beyond the fast stride's reach)
+        if k_fast > 0:
+            xi_f = jnp.clip(jnp.round(last_x / s).astype(jnp.int32), 0, X - 1)
+            yi_f = jnp.clip(jnp.round(last_y / s).astype(jnp.int32), 0, Z - 1)
+            fast_here = jnp.take(fast_flat, yi_f * X + xi_f)
+            far = near2 >= ((k_fast + 3.0) * s) ** 2
+            off_far = jnp.where(fast_here & far, float(k_fast * s),
+                                float(k_step * s))
+        else:
+            off_far = float(k_step * s)
+        # ``near_step > 1`` coarsens the gentle approach stride (the snap
+        # inside 4*s and the exact receiver append are unchanged; Fermat
+        # relaxation polishes the chord error like everywhere else)
         off = jnp.where(
-            near2 < ((k_step + 3.0) * s) ** 2, float(s), float(k_step * s)
+            near2 < ((k_step + 3.0) * s) ** 2, float(near_step * s), off_far
         )
 
         scores = jnp.stack(
@@ -693,7 +842,9 @@ def trace_rays(
                 model, mat_flat, last_x[:, None], last_y[:, None], px, py, s
             )
         else:
-            seg = segment_time(
+            # parity mode: the walk's exact fp pattern pins the candidate
+            # argmin to the reference path (see _segment_time_walk)
+            seg = _segment_time_walk(
                 model, mat_flat,
                 last_x[:, None], last_y[:, None], px, py, s, in_cross,
             )
@@ -814,14 +965,16 @@ def trace_rays(
 
     # optional Fermat relaxation recovers the h^2 chord error of long
     # marching strides (see relax_rays)
+    # segment_time now enumerates crossings PER AXIS (sorted closed form),
+    # so the slot budget is the per-axis span of the longest segment
+    # (~k_eff cells + relaxation offsets), not the old combined count
+    final_cross = max(-(-max_cross // 2) + 1, k_eff + 4)
     if relax_iters > 0:
         bx, by = relax_rays(
             model, mat_flat, bx, by, length, s,
-            iters=relax_iters, max_cross=max(max_cross, 2 * k_step + 6),
+            iters=relax_iters, max_cross=final_cross,
             quad=relax_quad, chunk=min(P - 2, 256),
         )
-    # exact final integration; long strides need more crossings per segment
-    final_cross = max(max_cross, 2 * k_step + 6)
     times = ray_times(model, mat_flat, bx, by, length, s, final_cross,
                       chunk=min(P - 1, 256))
     if return_reason:

@@ -129,6 +129,17 @@ class SolveConfig:
     # selection in the FD envelope); kept as an experiment knob.
     phase1_use_ali: bool | None = dataclasses.field(
         default=None, metadata=dict(static=True))
+    # Final-stage replace-polish FD fallback (see stencils.local_update
+    # ``use_fd``): False skips the multi-stencil FD candidate during the
+    # final stage's polish passes only -- the fallback is ~75% of the
+    # branchless update's cost yet ALI is valid almost everywhere on a
+    # near-converged field; where it is not, the replace accumulation
+    # keeps the phase-1 envelope value (which was computed WITH the
+    # fallback).  Accuracy impact measured on the weld workload in
+    # bench_data/diag_polish_r5.py; patch stages always keep the full
+    # operator (they feed the injection).
+    final_polish_fd: bool = dataclasses.field(
+        default=True, metadata=dict(static=True))
 
     @classmethod
     def accuracy(cls, **overrides) -> "SolveConfig":
@@ -644,6 +655,7 @@ def _stage_final(model, prev_tt, prev_bz, prev_bx, cfg, use_pallas=False):
         block=cfg.sweep_block, inner=cfg.sweep_inner,
         max_polish_passes=cfg.final_max_polish, use_ali=cfg.use_ali,
         phase1_use_ali=cfg.phase1_use_ali,
+        polish_use_fd=cfg.final_polish_fd,
     )
     return tt, info
 

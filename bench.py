@@ -42,11 +42,16 @@ BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "560"))
 # diags): mean |dt|/t ~ 5.6e-3 with a -2.8e-3 bias -- i.e. the relaxed
 # long-stride polylines are *better* Fermat minimisers than the
 # reference's 1-cell-jitter paths; exact final integration throughout.
-# Round-2 tuning (bench_data/tune_rays.py): one relax wave-pair scored
-# with 3-point Simpson keeps mean ray-time shift at +1.6e-3 (p99 +4.9e-3)
-# vs the 2-iter 5-point config while cutting the ray phase 0.59 -> 0.38 s.
-RAY_OPTS = dict(max_cross=8, step_scale=6, quad_vel=True, relax_iters=1,
-                relax_quad=3, max_steps=170, cand_stride=6.0)
+# Round-5 tuning (bench_data/diag_rays_r5.py): stride 9 with a widened
+# plane window (plane_dist=5 keeps the per-step bend cap at ~27 deg; at
+# the default window stride 9 truncates 60% of rays at orientation-domain
+# refractions) and 3-point Simpson scoring cuts the ray phase 0.45 ->
+# 0.31 s at +1.8e-3 mean / +9e-3 p99 ray-time shift vs the round-4
+# config, with all 961 rays still arriving (no truncation guard hits).
+# max_steps=115 covers the measured 109-step worst ray; the shorter step
+# buffer cuts relaxation + exact-integration cost proportionally.
+RAY_OPTS = dict(max_cross=8, step_scale=9, plane_dist=5, quad_vel=3,
+                relax_iters=1, relax_quad=3, max_steps=115, cand_stride=7.0)
 # Final-stage-only solver relaxation: see SolveConfig docstring (0.54 ->
 # 0.31 s on the weld at +3e-4 mean deviation from a 30-pass run).
 # sweep_block=4 halves the final-stage XLA compile (55 s vs 105 s over
@@ -205,7 +210,10 @@ def child():
     t_warm = time.time() - t0
     log("warm-up done")
     t0 = time.time()
-    run_once(1e-9)
+    # eps must exceed the f32 ulp of the largest source coordinate
+    # (~7.5e-9 at 0.1 m) or the perturbation rounds away and the tunnel
+    # can dedupe the run against the warm-up; 1e-7 is still < 1e-3 cells.
+    run_once(1e-7)
     dt = time.time() - t0
     log(f"measured {dt:.3f}s")
 
@@ -222,7 +230,7 @@ def child():
             seconds, 4)
 
     t0 = time.time()
-    ttfs, info = solver.solve_ttf(model, scx - 1e-9, scz, 1, cfg,
+    ttfs, info = solver.solve_ttf(model, scx - 1e-7, scz, 1, cfg,
                                   progress=stage_rec, return_info=True)
     t_solve = time.time() - t0
     t0 = time.time()
@@ -253,8 +261,135 @@ def child():
         final_gupd_per_s=round(upd_per_s / 1e9, 3),
         **stages,
     )
+    breakdown.update(_roofline(model, scx, scz, cfg, ttfs, tidx, src_xy,
+                               rec_xy, dt, stages, t_rays, n_pass, log))
+    # Self-contained record semantics (VERDICT round 4 items 2/7):
+    # * the headline value is the fully-async wall clock; per-stage times
+    #   are synced, so their sum EXCEEDS it by the dispatch overlap;
+    # * serial_python_est_s is the fitted pure-Python reference cost of
+    #   this workload (t = a*N*log2 N per TTF, a = 8.72e-6 s measured at 3
+    #   crop sizes, bench_data/diag_ref_serial_r4.py) -- the >=50x
+    #   BASELINE target holds for any numba speedup < ~2700x over it.
+    breakdown["note"] = (
+        "value = async wall clock; stage times are individually synced "
+        "and overlap under async dispatch, so solve_synced_s + rays_s > "
+        "value. Roofline: update_flops is XLA's exact static count of the "
+        "loop-free branchless stencil update; final-stage rates scale it "
+        "by grid*sources*4 sweeps*passes. final_stage_mfu_pct is vs the "
+        "dense-MXU bf16 peak (conventional MFU; an eikonal sweep has no "
+        "matmuls, so this is inherently tiny) and "
+        "final_stage_hbm_util_pct vs nominal HBM -- both small because "
+        "the stage is bound by the sequential line-scan dependency, not "
+        "by compute or bandwidth; march_gelem_per_s is the ray march's "
+        "gather throughput (its governing resource)."
+    )
+    breakdown["serial_python_est_s"] = 118675
+    breakdown["speedup_vs_serial_python"] = round(118675 / dt)
     log(f"breakdown {json.dumps(breakdown)}")
     _emit(round(dt, 4), round(BASELINE_S / dt, 3), breakdown=breakdown)
+
+
+# Nominal public single-chip peaks by device kind: (dense bf16 FLOP/s,
+# HBM bytes/s).  MFU against the MXU bf16 peak is the conventional
+# definition; this pipeline is VPU/gather bound so treat it as context.
+_PEAKS = {
+    "v4": (275e12, 1.23e12),
+    "v5 lite": (197e12, 8.19e11),
+    "v5e": (197e12, 8.19e11),
+    "v5p": (459e12, 2.765e12),
+    "v6 lite": (918e12, 1.64e12),
+    "v6e": (918e12, 1.64e12),
+}
+
+
+def _roofline(model, scx, scz, cfg, ttfs, tidx, src_xy, rec_xy, dt, stages,
+              t_rays, n_pass, log):
+    """Static-analysis roofline vs nominal chip peaks (VERDICT round 4
+    item 2).  Best-effort: any failure returns partial numbers rather
+    than killing the bench."""
+    import jax
+    import numpy as np
+
+    out = {}
+    try:
+        kind = jax.devices()[0].device_kind
+        out["device_kind"] = kind
+        peak = next((v for k, v in _PEAKS.items() if k in kind.lower()),
+                    None)
+
+        def cost(jfn, *args, **kw):
+            c = jfn.lower(*args, **kw).compile().cost_analysis()
+            if isinstance(c, (list, tuple)):
+                c = c[0]
+            return (float(c.get("flops", 0.0)),
+                    float(c.get("bytes accessed", 0.0)))
+
+        # Per-update flop/byte cost from the LOOP-FREE local_update body
+        # (branchless straight-line code, so XLA's static count is exact;
+        # whole-program cost_analysis counts while/scan bodies only once
+        # and would understate loop-heavy stages by orders of magnitude).
+        import jax.numpy as jnp
+
+        from alifmm_tpu.ops import stencils as stencils_mod
+        from alifmm_tpu.ops.stencils import OFFSETS
+
+        n_src = len(scx)
+        Z, X = model.shape
+        S = max(Z, X)
+
+        @jax.jit
+        def one_line(band, veln_l, velpn_l, vmap_l, stif_l, fbs_l):
+            tt_center = band[..., 2, 2 : 2 + S]
+            nbr, known, inb = {}, {}, {}
+            for (dz, dx) in OFFSETS:
+                v = band[..., 2 + dz, 2 + dx : 2 + dx + S]
+                nbr[(dz, dx)] = v
+                known[(dz, dx)] = (v < 1e30) & (v < tt_center)
+                inb[(dz, dx)] = jnp.ones((S,), bool)
+            edges = {k: jnp.zeros((S,), bool)
+                     for k in ("top", "bottom", "left", "right")}
+            return stencils_mod.local_update(
+                nbr, known, inb, tt_center, veln_l, velpn_l, vmap_l,
+                stif_l, fbs_l, edges, model, model.dnx, causal=True,
+            )
+
+        band = jnp.zeros((n_src, 5, S + 4), jnp.float32)
+        lf, lb = cost(one_line, band, jnp.zeros((S,)), jnp.zeros((S,)),
+                      jnp.zeros((S,)), jnp.zeros((S, 5)),
+                      jnp.zeros((4, S)))
+        flops_per_upd = lf / (n_src * S)
+        n_upd = float(Z) * X * n_src * 4 * n_pass
+        final_s = max(stages.get("s4_final", 0.0), 1e-9)
+        out["update_flops"] = round(flops_per_upd, 1)
+        out["final_stage_gflop_per_s"] = round(
+            flops_per_upd * n_upd / final_s / 1e9, 1)
+        # Modeled streaming bytes per update: 5 band reads + 1 write of
+        # the f32 field + ~12 material planes (veln, velpn, vel_map,
+        # 5 stif, 4 fallback-slowness)
+        bytes_per_upd = (6 + 12) * 4.0
+        out["final_stage_gb_per_s"] = round(
+            bytes_per_upd * n_upd / final_s / 1e9, 1)
+        # Ray march roofline: the march is gather-throughput bound; count
+        # gathered elements per while iteration (TTF bilinear corners +
+        # Simpson material samples over R rays x K candidates).
+        R = int(src_xy.shape[0])
+        sd = RAY_OPTS.get("plane_dist", 3) * SUBGRID + 1
+        K = int(np.ceil(2 * sd / RAY_OPTS["cand_stride"])) + 1
+        n_q = 3 if RAY_OPTS.get("quad_vel") == 3 else 5
+        gath_per_iter = R * K * (4 + n_q * 5)
+        out["march_gelem_per_s"] = round(
+            gath_per_iter * RAY_OPTS["max_steps"] / max(t_rays, 1e-9)
+            / 1e9, 3)
+        if peak is not None:
+            pk_f, pk_b = peak
+            out["final_stage_mfu_pct"] = round(
+                100.0 * flops_per_upd * n_upd / final_s / pk_f, 3)
+            out["final_stage_hbm_util_pct"] = round(
+                100.0 * bytes_per_upd * n_upd / final_s / pk_b, 2)
+    except Exception as e:  # noqa: BLE001 -- diagnostic-only path
+        log(f"roofline estimate unavailable: {type(e).__name__}: {e}")
+        out["roofline_error"] = str(e)[:200]
+    return out
 
 
 # --------------------------------------------------------------------- #
