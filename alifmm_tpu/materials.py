@@ -443,6 +443,52 @@ def _support_from_radial(phi, r, out_angles):
     return _support_of_points(r * np.cos(phi), r * np.sin(phi), out_angles)
 
 
+def wavefront_corner_angles(c22, c23, c33, c44, rho, c66=None, mode="qSV",
+                            n_fine=14400, min_span_deg=0.5):
+    """Ray-direction angles (degrees, [0, 360)) at which the first-arrival
+    wavefront of a homogeneous medium has CORNERS.
+
+    Geometry: the point-source first arrival is the convex hull of the
+    wave surface; its radial function kinks exactly where the supporting
+    vertex of the polar-dual (slowness) hull jumps across a hull EDGE that
+    bridges a concave dimple of the slowness curve.  Each such bridge
+    facet maps to one corner ray direction -- the facet's outward normal.
+    Convex modes (qP) have no bridges and return an empty array.
+
+    ``min_span_deg``: a hull edge counts as a bridge when it skips more
+    than this span of consecutive phase samples (smooth-arc edges skip
+    ~360/n_fine degrees).  Used by the sector-aware qSV accuracy bounds
+    (tests/test_qsv_mode.py): solver residuals above the smooth-sector
+    envelope are only admitted within a few degrees of these corners.
+    """
+    from scipy.spatial import ConvexHull
+
+    if c66 is None:
+        c66 = c44
+    phi = np.linspace(0.0, 2.0 * np.pi, 2 * n_fine, endpoint=False)
+    vp = _phase_velocity_mode(phi, c22, c23, c33, c44, c66, rho, str(mode))
+    pts = np.column_stack([np.cos(phi) / vp, np.sin(phi) / vp])
+    hull = ConvexHull(pts)
+    vidx = hull.vertices                      # CCW order, original indices
+    n = len(phi)
+    nxt = np.roll(vidx, -1)
+    skip = np.mod(nxt - vidx, n)              # samples skipped by each edge
+    span_deg = skip * (360.0 / n)
+    bridge = span_deg > max(min_span_deg, 2.5 * 360.0 / n)
+    if not bridge.any():
+        return np.zeros((0,))
+    v = pts[vidx]
+    d = pts[nxt] - v
+    psi = np.degrees(np.arctan2(-d[:, 0], d[:, 1]))  # outward edge normal
+    return np.sort(np.mod(psi[bridge], 360.0))
+
+
+def angular_distance_deg(a, b):
+    """Smallest absolute angular distance |a - b| on the circle (deg)."""
+    d = np.mod(np.asarray(a) - np.asarray(b), 360.0)
+    return np.minimum(d, 360.0 - d)
+
+
 def generate_mode_curves(c22, c23, c33, c44, rho, c66=None, mode="qP",
                          n_fine=14400):
     """(group_curve, phase_curve) 361-entry tables for a chosen bulk mode.

@@ -91,9 +91,18 @@ def test_fine_grid_accuracy_preset_golden_iso():
 def test_fine_grid_accuracy_preset_golden_random_aniso():
     """Adversarial per-cell random orientations at subgrid=9 with the
     accuracy preset: the mean tightens to < 3.5e-3 (measured 2.4e-3)
-    with an honest L-inf envelope < 5e-2 (measured 3.9e-2; heap-order
-    partial-knowledge candidates dominate the tail on rough media,
-    tests/test_accuracy_mode.py module docstring)."""
+    with an honest L-inf envelope < 5e-2 (measured 3.9e-2).
+
+    Round-5 mechanism demonstration (bench_data/diag_finegrid_remarch_r5
+    .py): re-marching the reference's own field to convergence with its
+    own operators shows the L-inf tail is NOT far-field heap ordering (the
+    round-4 attribution) -- the heap self-corrects only <= 1.6e-2 and our
+    far-field deviation is <= 1.7e-2 against one-pass and converged fields
+    alike.  The 3.9e-2 tail lives ENTIRELY inside the telescoped
+    near-source patch window (<= 49 fine cells Chebyshev), where the
+    reference's staged heap patches and our staged sweep patches inject
+    different sub-cell-resolution values that the 1x operator cannot
+    arbitrate.  The bounds below encode that structure."""
     Z, X = 19, 17
     dnx = 1e-3
     rng = np.random.default_rng(3)
@@ -118,6 +127,14 @@ def test_fine_grid_accuracy_preset_golden_random_aniso():
     assert rel.max() < 5e-2, rel.max()
     assert rel.mean() < 3.5e-3, rel.mean()
     assert np.quantile(rel, 0.99) < 3e-2, np.quantile(rel, 0.99)
+    # localisation: outside the telescoped patch window the parity is
+    # 2x tighter (measured 1.7e-2; the >2.5e-2 tail is patch-vs-patch)
+    nnz, nnx = want.shape
+    zz, xx = np.meshgrid(np.arange(nnz), np.arange(nnx), indexing="ij")
+    cheb = np.maximum(np.abs(zz - sz * 9), np.abs(xx - sx * 9))
+    far = mask & (cheb > 49)
+    relf = np.where(mask, np.abs(got - want) / np.where(mask, want, 1), 0)
+    assert relf[far].max() < 2.5e-2, relf[far].max()
 
 
 @pytest.fixture

@@ -125,11 +125,23 @@ def test_qsv_homogeneous_hull_arrivals():
     """Homogeneous qSV media: the solver field must match the analytic
     convex-hull first arrival t = d / v_hull(ray angle) POINTWISE --
     the assert the round-3 mixed-branch tables could not support (48%
-    gaps then; measured envelopes now in the module docstring)."""
+    gaps then; measured envelopes now in the module docstring).
+
+    Round-5 sector-aware bounds: the residual L-inf is LOCALISED at the
+    wavefront's corner directions (materials.wavefront_corner_angles --
+    the duals of the slowness hull's dimple-bridge facets, at 0/90/180/270
+    deg effective angle for this austenite).  Measured error vs angular
+    distance to the nearest corner (bench_data round-5 sweep, both
+    orientations): < 2 deg: up to 7.7e-2; 2-4 deg: up to 3.6e-2;
+    4-6 deg: up to 2.3e-2; >= 6 deg: up to 7.5e-3.  The blanket
+    rel.max() < 1.1e-1 of round 4 is replaced by that profile."""
     Z, X = 33, 37
     dnx = 5e-4
     gtab, ptab = _qsv_tables()
     g = gtab[:, 1]
+    corners = np.unique(np.mod(mats.wavefront_corner_angles(
+        263e9, 145e9, 216e9, 129e9, 7800.0, mode="qSV"), 180.0))
+    assert len(corners) > 0  # concave mode must report its bridges
     sz, sx = 16, 18
     for veln0 in (140.0, 0.0):
         model = gridlib.make_model(
@@ -152,11 +164,26 @@ def test_qsv_homogeneous_hull_arrivals():
         want = dnx * np.hypot(dz, dx) / vh
         mask = want > 0
         safe = np.where(mask, want, 1.0)
-        rel = (np.abs(got - want) / safe)[mask]
+        relf = np.abs(got - want) / safe
+        rel = relf[mask]
         srel = ((got - want) / safe)[mask]
         asym = (np.abs(got - got[::-1, ::-1]) / safe)[mask]
         assert rel.mean() < 1.2e-2, (veln0, rel.mean())
-        assert rel.max() < 1.1e-1, (veln0, rel.max())
+        # global bound tightened from the round-4 blanket 1.1e-1
+        assert rel.max() < 9.5e-2, (veln0, rel.max())
+        # angular distance (180-periodic) to the nearest wavefront corner
+        cd = np.min(np.stack([
+            np.minimum(np.mod(eff - c, 180.0), 180.0 - np.mod(eff - c,
+                                                              180.0))
+            for c in corners
+        ]), axis=0)
+        smooth = mask & (cd >= 6.0)
+        near = mask & (cd >= 4.0)
+        assert relf[smooth].max() < 1.2e-2, (veln0, relf[smooth].max())
+        assert relf[near].max() < 3.2e-2, (veln0, relf[near].max())
+        # every large error must sit inside a corner sector
+        big = mask & (relf > 3.2e-2)
+        assert np.all(cd[big] < 4.0), (veln0, cd[big].max())
         # first-arrival character: essentially never EARLIER than the
         # true first arrival (the round-3 min-lock was -16/-18%)
         assert srel.min() > -2e-2, (veln0, srel.min())
