@@ -59,6 +59,12 @@ def test_tutorial_notebook_executes():
     # already pins JAX_PLATFORMS=cpu (+ x64 + compile cache); add a
     # headless matplotlib backend for the plotting cells
     os.environ["MPLBACKEND"] = "Agg"
+    # the kernel's cwd is examples/, so the repo root must be importable
+    # explicitly -- relying on ambient PYTHONPATH broke the moment the
+    # session env stopped including it (round-5 suite run)
+    repo = os.path.abspath(os.path.join(HERE, ".."))
+    prev = os.environ.get("PYTHONPATH", "")
+    os.environ["PYTHONPATH"] = repo + (os.pathsep + prev if prev else "")
     client = NotebookClient(
         nb, timeout=1200, kernel_name="python3",
         resources={"metadata": {"path": os.path.dirname(NB_PATH)}},
